@@ -1,0 +1,160 @@
+"""Layer-streaming fine-stage engine: one calibration pass per stack.
+
+Functional rebuild of the reference's per-block loop
+(``T5LayerWandaPruner._prune`` wanda_pruner.py:217-290, ``VITLayerWandaPruner.
+_prune`` :499-568, SparseGPT variants sparsegpt_pruner.py:468-543):
+
+  capture block-0 inputs -> per block: collect per-linear activation stats ->
+  compute masks / OBS-sweep at the block's assigned ratio -> write pruned
+  weights -> re-forward the block with pruned weights to produce the next
+  block's inputs.
+
+The Catcher-module / forward-hook machinery disappears: ``prepare_inputs``
+returns the stacked calibration activations directly and ``block_forward``
+collects stats inline (XLA fuses the Σx² / XᵀX accumulation into the forward
+matmuls). All samples ride in ONE batched forward per block per pass — the
+reference's per-sample Python loop (wanda_pruner.py:250-253) becomes a single
+MXU-shaped call. Matching the reference, the block is re-forwarded *after*
+pruning so downstream blocks calibrate against the pruned upstream
+(wanda_pruner.py:281-285).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ecoflap_tpu.pruning.adapter import ModelAdapter, StackSpec
+from ecoflap_tpu.pruning.sparsegpt import sparsegpt_prune_weight
+from ecoflap_tpu.pruning.wanda import (
+    apply_mask,
+    mask_n_m,
+    mask_per_row,
+    mask_per_tensor,
+    wanda_metric,
+)
+
+PyTree = Any
+
+
+def _num_sequences(x: jax.Array) -> int:
+    return x.shape[0]
+
+
+def prune_stack_wanda(
+    stack: StackSpec,
+    params: PyTree,
+    batch: Any,
+    sparsity_ratio: Mapping[str, float],
+    prune_n: int = 0,
+    prune_m: int = 0,
+    verbose: bool = True,
+) -> PyTree:
+    """Wanda-prune one stack, streaming calibration activations once."""
+    prep = jax.jit(stack.prepare_inputs)
+    fwd_collect = jax.jit(
+        functools.partial(stack.block_forward, collect="wanda")
+    )
+    fwd = jax.jit(functools.partial(stack.block_forward, collect=None))
+
+    @functools.partial(jax.jit, static_argnames=("per_row",))
+    def prune_one(w, col_sq_sum, n_seq, ratio, per_row):
+        metric = wanda_metric(w, col_sq_sum / n_seq)
+        if prune_n != 0:
+            mask = mask_n_m(metric, prune_n, prune_m)
+        elif per_row:
+            mask = mask_per_row(metric, ratio)
+        else:
+            mask = mask_per_tensor(metric, ratio)
+        return apply_mask(w, mask)
+
+    x, cache = prep(params, batch)
+    n_seq = float(_num_sequences(x))
+
+    for i in range(stack.num_blocks):
+        bp = stack.get_block(params, i)
+        _, stats = fwd_collect(bp, x, cache)
+        for local in stack.linear_names:
+            key = stack.weight_key(i, local)
+            if verbose:
+                print(f"pruning layer {i} name {local}")
+            w = stack.weight_get(bp, local)
+            ratio = jnp.asarray(sparsity_ratio[key], jnp.float32)
+            w_pruned = prune_one(
+                w.astype(jnp.float32), stats[local], n_seq, ratio, stack.per_row_mask
+            ).astype(w.dtype)
+            bp = stack.weight_set(bp, local, w_pruned)
+        params = stack.set_block(params, i, bp)
+        x, _ = fwd(bp, x, cache)
+    return params
+
+
+def prune_stack_sparsegpt(
+    stack: StackSpec,
+    params: PyTree,
+    batch: Any,
+    sparsity_ratio: Mapping[str, float],
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+    prune_n: int = 0,
+    prune_m: int = 0,
+    verbose: bool = True,
+) -> PyTree:
+    """SparseGPT-prune one stack (Hessian per linear, OBS column sweep)."""
+    prep = jax.jit(stack.prepare_inputs)
+    fwd_collect = jax.jit(
+        functools.partial(stack.block_forward, collect="hessian")
+    )
+    fwd = jax.jit(functools.partial(stack.block_forward, collect=None))
+
+    x, cache = prep(params, batch)
+    n_seq = float(_num_sequences(x))
+
+    for i in range(stack.num_blocks):
+        bp = stack.get_block(params, i)
+        _, stats = fwd_collect(bp, x, cache)
+        for local in stack.linear_names:
+            key = stack.weight_key(i, local)
+            if verbose:
+                print(f"pruning layer {i} name {local}")
+            w = stack.weight_get(bp, local)
+            h = (2.0 / n_seq) * stats[local]  # SparseGPT.add_batch scaling
+            ratio = jnp.asarray(sparsity_ratio[key], jnp.float32)
+            w_pruned = sparsegpt_prune_weight(
+                w.astype(jnp.float32),
+                h,
+                ratio,
+                blocksize=blocksize,
+                percdamp=percdamp,
+                prune_n=prune_n,
+                prune_m=prune_m,
+            ).astype(w.dtype)
+            bp = stack.weight_set(bp, local, w_pruned)
+        params = stack.set_block(params, i, bp)
+        x, _ = fwd(bp, x, cache)
+    return params
+
+
+def check_stack_sparsity(
+    stack: StackSpec, params: PyTree, verbose: bool = True
+) -> float:
+    """Global zero-fraction over a stack's prunable weights
+    (T5LayerWandaPruner.check_sparsity, wanda_pruner.py:139-163)."""
+    count = 0
+    total = 0
+    for i in range(stack.num_blocks):
+        bp = stack.get_block(params, i)
+        sub_count = 0
+        sub_total = 0
+        for local in stack.linear_names:
+            w = stack.weight_get(bp, local)
+            sub_count += int(jnp.sum(w == 0))
+            sub_total += int(w.size)
+        if verbose:
+            print(f"layer {i} sparsity {sub_count / sub_total:.6f}")
+        count += sub_count
+        total += sub_total
+    return count / total

@@ -1,0 +1,156 @@
+"""Zeroth-order (MeZO-style) importance scoring — the ECoFLaP headline path.
+
+Reference semantics (``LayerSparsity.compute_importance_scores_mezo``,
+LAVIS/lavis/compression/pruners/layer_single_base_pruner.py:488-561): for each
+prunable weight tensor independently, draw Gaussian noise z, evaluate the
+calibration loss at θ+εz and θ−εz, and accumulate the absolute projected
+gradient ``|loss⁺ − loss⁻| / 2ε`` over batches and noise draws. The score is a
+*scalar per tensor*; per-element variants multiply it back onto the weights:
+
+  MEZO-GradOnly:       s
+  MEZO-GradMagAbs:     |W| · s        (per element)
+  MEZO-GradMagSquare:  W² · s²       (per element)
+
+Cost = 2 · |tensors| · num_batches forwards — HOT LOOP #1 in SURVEY.md §3.1.
+
+TPU-native design (this module): the loss fn returns *per-sample* losses, so
+all calibration data rides in ONE forward per perturbation side: the
+(num_batches × batch_size) samples are stacked and group-means reproduce the
+per-batch losses exactly. Two execution modes:
+
+* ``noise_mode="shared"`` (default, fast): one z per (tensor, noise draw)
+  evaluated against every microbatch in a single big forward. 2·num_noise
+  forwards per tensor at full MXU batch; the estimator remains an unbiased
+  |z·∇L| sample, just with z shared across microbatches (documented deviation
+  from the reference, which draws a fresh z per microbatch).
+* ``noise_mode="per_batch"`` (reference parity): fresh z per microbatch, one
+  forward per (tensor, microbatch, side) at microbatch size — the reference's
+  exact sampling scheme, same FLOPs, more dispatches.
+
+Perturbations are functional: ``target.add(params, ±εz)`` builds a tree that
+shares every untouched leaf, replacing the reference's in-place
+perturb→forward→restore seed-replay dance (zo_perturb_parameters, :473-486)
+with jax PRNG keys — no restore step, no RNG state to corrupt.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ecoflap_tpu.pruning.targets import WeightTarget
+
+PyTree = Any
+LossFn = Callable[[PyTree, Any], jax.Array]  # -> (B,) per-sample losses
+
+
+def _group_means(losses: jax.Array, num_groups: int) -> jax.Array:
+    """(N,) per-sample losses -> (num_groups,) per-microbatch mean losses."""
+    return losses.reshape(num_groups, -1).mean(axis=1)
+
+
+def mezo_leaf_scores(
+    loss_fn: LossFn,
+    params: PyTree,
+    data: Any,
+    num_microbatches: int,
+    targets: List[WeightTarget],
+    eps: float = 1e-3,
+    num_noise: int = 1,
+    key: Optional[jax.Array] = None,
+    noise_mode: str = "shared",
+    progress: Optional[Callable[[int, str], None]] = None,
+) -> Dict[str, jax.Array]:
+    """Scalar |projected-gradient| score per target.
+
+    Args:
+      loss_fn: jittable (params, batch)->(B,) per-sample losses.
+      data: one stacked batch pytree with leading dim N = microbatches·bs.
+      num_microbatches: reproduce the reference's per-batch loss averaging.
+      targets: prunable weights to score.
+      eps: perturbation scale (noise_eps, default 1e-3).
+      num_noise: draws per (tensor, batch) (num_noise, default 1).
+      noise_mode: "shared" (fast) or "per_batch" (reference sampling parity).
+
+    Returns {target.name: scalar f32 score}.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    loss_jit = jax.jit(loss_fn)
+
+    def sample_z(k, shape, dtype):
+        return (jax.random.normal(k, shape, jnp.float32) * eps).astype(dtype)
+
+    scores: Dict[str, jax.Array] = {}
+    for ti, t in enumerate(targets):
+        if progress is not None:
+            progress(ti, t.name)
+        tkey = jax.random.fold_in(key, ti)
+        shape = t.shape(params)
+        dtype = t.dtype(params)
+        score = jnp.zeros((), jnp.float32)
+
+        if noise_mode == "shared":
+            for n in range(num_noise):
+                z = sample_z(jax.random.fold_in(tkey, n), shape, dtype)
+                l_plus = loss_jit(t.add(params, z), data)
+                l_minus = loss_jit(t.add(params, -z), data)
+                g_plus = _group_means(l_plus, num_microbatches)
+                g_minus = _group_means(l_minus, num_microbatches)
+                proj = jnp.abs(g_plus - g_minus) / (2.0 * eps)
+                score = score + jnp.sum(proj)
+        elif noise_mode == "per_batch":
+            for b in range(num_microbatches):
+                mb = jax.tree_util.tree_map(
+                    lambda x: x.reshape(num_microbatches, -1, *x.shape[1:])[b], data
+                )
+                per_batch = jnp.zeros((), jnp.float32)
+                for n in range(num_noise):
+                    z = sample_z(
+                        jax.random.fold_in(jax.random.fold_in(tkey, b), n),
+                        shape,
+                        dtype,
+                    )
+                    l_plus = jnp.mean(loss_jit(t.add(params, z), mb))
+                    l_minus = jnp.mean(loss_jit(t.add(params, -z), mb))
+                    per_batch = per_batch + jnp.abs(l_plus - l_minus) / (2.0 * eps)
+                # reference: gradients_dict[name] += |per_batch|  (:549)
+                score = score + jnp.abs(per_batch)
+        else:
+            raise ValueError(f"unknown noise_mode {noise_mode!r}")
+
+        scores[t.name] = score
+    return scores
+
+
+def mezo_group_sums(
+    params: PyTree,
+    targets: List[WeightTarget],
+    leaf_scores: Dict[str, jax.Array],
+    score_compute: str = "MEZO-GradOnly",
+) -> Dict[str, jax.Array]:
+    """Per-target importance *sums* (what group aggregation consumes).
+
+    The reference materializes per-element importance tensors and then calls
+    ``.sum()`` per layer (return_sparsity, :370). Since the MeZO score is a
+    scalar s per tensor, the sums factor analytically — Σ(|W|·s) = s·Σ|W| —
+    so we never materialize the per-element tensors.
+    """
+    out: Dict[str, jax.Array] = {}
+    for t in targets:
+        s = leaf_scores[t.name]
+        if score_compute == "MEZO-GradOnly":
+            # importance tensor is the scalar itself (shape [1] in reference)
+            out[t.name] = jnp.abs(s)
+        elif score_compute == "MEZO-GradMagAbs":
+            w = t.get(params).astype(jnp.float32)
+            out[t.name] = jnp.abs(s) * jnp.sum(jnp.abs(w))
+        elif score_compute == "MEZO-GradMagSquare":
+            w = t.get(params).astype(jnp.float32)
+            out[t.name] = (s * s) * jnp.sum(w * w)
+        else:
+            raise ValueError(f"unknown MeZO score method {score_compute!r}")
+    return out

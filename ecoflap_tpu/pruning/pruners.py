@@ -1,0 +1,375 @@
+"""Pruner classes — the registry-facing API, one shared implementation.
+
+The reference has ~10 near-identical pruner classes across 4 subprojects
+(SURVEY.md §2.1-2.2). Here there is ONE ``TwoStagePruner`` (coarse sparsity
+allocation + local fine pruning) parameterized by (a) a ModelAdapter and
+(b) the local method ("wanda" | "sparsegpt"), plus ONE ``GlobalPruner`` for
+the global-mask baselines. The reference registry names map onto thin
+factories so config files and scripts keep working:
+
+  t5_wanda_pruner / vit_wanda_pruner / blipt5_wanda_pruner
+  t5_sparsegpt_pruner / vit_sparsegpt_pruner / blipt5_sparsegpt_pruner
+  blipt5_global_mag_pruner / blipt5_global_gradmagabs_pruner /
+  blipt5_global_mezo_pruner
+  (wanda_pruner.py:87,378,660; sparsegpt_pruner.py:225,494,752;
+   global_pruner.py:246,254,303)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import yaml
+
+from ecoflap_tpu.core.registry import registry
+from ecoflap_tpu.core.spec import parse_prune_spec
+from ecoflap_tpu.pruning.adapter import ModelAdapter
+from ecoflap_tpu.pruning.allocator import UniformSparsity
+from ecoflap_tpu.pruning.engine import (
+    check_stack_sparsity,
+    prune_stack_sparsegpt,
+    prune_stack_wanda,
+)
+from ecoflap_tpu.pruning.first_order import first_order_importance
+from ecoflap_tpu.pruning.masks import (
+    global_mask,
+    iterative_sparsity_schedule,
+    layerwise_mask,
+)
+from ecoflap_tpu.pruning.mezo import mezo_leaf_scores
+from ecoflap_tpu.pruning.sparsity import compute_layer_sparsity
+
+PyTree = Any
+
+
+class TwoStagePruner:
+    """ECoFLaP coarse-to-fine pruner: LayerSparsity + local Wanda/SparseGPT.
+
+    Args mirror the reference kwargs (layer_single_base_pruner.py:19-63):
+    prune_spec / per-stack specs, sparsity_ratio_granularity,
+    max_sparsity_per_layer, score_method, num_data_first_stage, num_noise,
+    noise_eps, sparsity_dict, prune_per_model, prune_n/prune_m.
+    """
+
+    local_method = "wanda"
+
+    def __init__(
+        self,
+        adapter: ModelAdapter,
+        data: Any,
+        num_microbatches: int,
+        prune_spec: Optional[str] = None,
+        stack_specs: Optional[Mapping[str, Optional[str]]] = None,
+        sparsity_ratio_granularity: Optional[str] = None,
+        max_sparsity_per_layer: float = 0.8,
+        score_method: str = "MEZO-GradOnly_sum",
+        num_data_first_stage: int = 128,
+        num_noise: int = 1,
+        noise_eps: float = 1e-3,
+        sparsity_dict: Optional[Union[str, Mapping[str, float]]] = None,
+        prune_per_model: bool = False,
+        prune_n: int = 0,
+        prune_m: int = 0,
+        noise_mode: str = "shared",
+        key: Optional[jax.Array] = None,
+        verbose: bool = True,
+        **kwargs: Any,
+    ) -> None:
+        self.adapter = adapter
+        self.data = data
+        self.num_microbatches = num_microbatches
+        self.prune_spec = prune_spec
+        self.stack_specs = dict(stack_specs or {})
+        self.sparsity_ratio_granularity = sparsity_ratio_granularity
+        self.max_sparsity_per_layer = max_sparsity_per_layer
+        self.score_method = score_method
+        self.num_data_first_stage = num_data_first_stage
+        self.num_noise = num_noise
+        self.noise_eps = noise_eps
+        self.sparsity_dict = sparsity_dict
+        self.prune_per_model = prune_per_model
+        self.prune_n = prune_n
+        self.prune_m = prune_m
+        self.noise_mode = noise_mode
+        self.key = key
+        self.verbose = verbose
+
+    # -- coarse stage ------------------------------------------------------
+    def _spec_for_stack(self, stack_name: str) -> Optional[str]:
+        if stack_name in self.stack_specs:
+            return self.stack_specs[stack_name]
+        return self.prune_spec
+
+    def _coarse_data(self):
+        """First ``num_data_first_stage`` samples of the calibration batch
+        (reference: separate count-limited loader, runner_base.py:645-693)."""
+        n = self.num_data_first_stage
+        data = jax.tree_util.tree_map(lambda x: x[:n], self.data)
+        bs = _leading_dim(self.data) // self.num_microbatches
+        return data, max(1, n // bs)
+
+    def get_sparsity(
+        self, original_sparsity: float, sparsity_ratio_granularity: Optional[str]
+    ):
+        """Sparsity dict for the fine stage (wanda_pruner.py:292-340)."""
+        if self.sparsity_dict is not None:
+            if isinstance(self.sparsity_dict, str):
+                with open(self.sparsity_dict) as f:
+                    return yaml.safe_load(f)
+            return dict(self.sparsity_dict)
+
+        mapping = self.adapter.group_mapping(sparsity_ratio_granularity)
+        data, num_mb = self._coarse_data()
+        return compute_layer_sparsity(
+            self.adapter.loss_fn,
+            self.adapter.params,
+            data,
+            num_mb,
+            self.adapter.targets(),
+            original_sparsity,
+            mapping,
+            max_sparsity_per_layer=self.max_sparsity_per_layer,
+            score_method=self.score_method,
+            num_noise=self.num_noise,
+            noise_eps=self.noise_eps,
+            prune_per_model=self.prune_per_model,
+            per_model_group=list(self.adapter.model_prefixes.values()),
+            key=self.key,
+            noise_mode=self.noise_mode,
+            verbose=self.verbose,
+        )
+
+    # -- fine stage --------------------------------------------------------
+    def _prune_stack(self, stack, params, ratios):
+        if self.local_method == "wanda":
+            return prune_stack_wanda(
+                stack,
+                params,
+                self.data,
+                ratios,
+                prune_n=self.prune_n,
+                prune_m=self.prune_m,
+                verbose=self.verbose,
+            )
+        if self.local_method == "sparsegpt":
+            return prune_stack_sparsegpt(
+                stack,
+                params,
+                self.data,
+                ratios,
+                prune_n=self.prune_n,
+                prune_m=self.prune_m,
+                verbose=self.verbose,
+            )
+        raise ValueError(self.local_method)
+
+    def prune(self):
+        """Returns (pruned_params, sparsity_dict) — reference ``prune()``
+        contract (wanda_pruner.py:799-876)."""
+        t0 = time.time()
+        params = self.adapter.params
+
+        # Coarse stage runs once over the union of stacks when granularity is
+        # requested (blipt5 orchestrator, wanda_pruner.py:803-812).
+        global_dict = None
+        if self.sparsity_ratio_granularity is not None or self.sparsity_dict is not None:
+            specs = [
+                self._spec_for_stack(s.name)
+                for s in self.adapter.stacks
+                if self._spec_for_stack(s.name) is not None
+            ]
+            if not specs:
+                return params, None
+            ratios = {parse_prune_spec(s).sparsity for s in specs}
+            assert len(ratios) == 1, (
+                "all stacks must share the target sparsity (wanda_pruner.py:807)"
+            )
+            global_dict = self.get_sparsity(
+                ratios.pop(), self.sparsity_ratio_granularity
+            )
+
+        for stack in self.adapter.stacks:
+            spec = self._spec_for_stack(stack.name)
+            if spec is None:
+                continue
+            sparsity_ratio = parse_prune_spec(spec).sparsity
+            stack_dict = (
+                global_dict
+                if global_dict is not None
+                else UniformSparsity(sparsity_ratio)
+            )
+            params = self._prune_stack(stack, params, stack_dict)
+
+        self.adapter.params = params
+        if self.verbose:
+            print(f"prune spent {time.time() - t0:.3f} s")
+        return params, global_dict
+
+    def check_sparsity(self) -> float:
+        count = total = 0
+        for stack in self.adapter.stacks:
+            for i in range(stack.num_blocks):
+                bp = stack.get_block(self.adapter.params, i)
+                for local in stack.linear_names:
+                    w = stack.weight_get(bp, local)
+                    count += int(jnp.sum(w == 0))
+                    total += int(w.size)
+        return count / max(total, 1)
+
+
+class WandaPruner(TwoStagePruner):
+    local_method = "wanda"
+
+
+class SparseGPTPruner(TwoStagePruner):
+    local_method = "sparsegpt"
+
+
+class GlobalPruner:
+    """Global-mask baselines (global_pruner.py:56-244): iterative global /
+    per-model-global / layerwise magnitude-or-gradient-or-MeZO pruning."""
+
+    score = "mag"  # "mag" | "gradmagabs" | "mezo"
+
+    def __init__(
+        self,
+        adapter: ModelAdapter,
+        data: Any,
+        num_microbatches: int,
+        prune_spec: Optional[str] = None,
+        stack_specs: Optional[Mapping[str, Optional[str]]] = None,
+        is_global: bool = True,
+        prune_per_model: bool = False,
+        iteration: int = 1,
+        num_samples: int = 64,
+        num_noise: int = 1,
+        noise_eps: float = 1e-3,
+        key: Optional[jax.Array] = None,
+        noise_mode: str = "shared",
+        verbose: bool = True,
+        **kwargs: Any,
+    ) -> None:
+        self.adapter = adapter
+        self.data = data
+        self.num_microbatches = num_microbatches
+        self.prune_spec = prune_spec
+        self.stack_specs = dict(stack_specs or {})
+        self.is_global = is_global
+        self.prune_per_model = prune_per_model
+        self.iteration = iteration
+        self.num_samples = num_samples
+        self.num_noise = num_noise
+        self.noise_eps = noise_eps
+        self.key = key
+        self.noise_mode = noise_mode
+        self.verbose = verbose
+
+    def _importance(self, params, targets):
+        batches = [
+            jax.tree_util.tree_map(
+                lambda x: x.reshape(self.num_microbatches, -1, *x.shape[1:])[b],
+                self.data,
+            )
+            for b in range(self.num_microbatches)
+        ]
+        if self.score == "mag":
+            return {t.name: jnp.abs(t.get(params).astype(jnp.float32)) for t in targets}
+        if self.score == "gradmagabs":
+            return first_order_importance(
+                self.adapter.loss_fn, params, batches, targets, "GradMagAbs"
+            )
+        if self.score == "mezo":
+            # Scalar per tensor — masks then keep/drop whole tensors, exactly
+            # like the reference (global_pruner.py:383-387 + get_mask on
+            # shape-[1] tensors).
+            scores = mezo_leaf_scores(
+                self.adapter.loss_fn,
+                params,
+                self.data,
+                self.num_microbatches,
+                targets,
+                eps=self.noise_eps,
+                num_noise=self.num_noise,
+                key=self.key,
+                noise_mode=self.noise_mode,
+            )
+            return {k: jnp.abs(v).reshape(1) for k, v in scores.items()}
+        raise ValueError(self.score)
+
+    def prune(self):
+        params = self.adapter.params
+        targets = self.adapter.targets()
+        spec = self.prune_spec or next(iter(self.stack_specs.values()), None)
+        if spec is None:
+            return params, None
+        target_sparsity = parse_prune_spec(spec).sparsity
+
+        masks = None
+        for p_i in iterative_sparsity_schedule(target_sparsity, self.iteration):
+            imp = self._importance(params, targets)
+            if masks is not None:
+                imp = {k: imp[k] * masks[k] for k in imp}
+
+            if self.is_global and not self.prune_per_model:
+                masks = global_mask(imp, p_i, max_sparsity_per_layer=1.0)
+            elif self.is_global and self.prune_per_model:
+                masks = {}
+                for prefix in self.adapter.model_prefixes.values():
+                    sub = {k: v for k, v in imp.items() if k.startswith(prefix)}
+                    masks.update(global_mask(sub, p_i, max_sparsity_per_layer=1.0))
+            else:
+                masks = layerwise_mask(imp, p_i)
+
+            for t in targets:
+                w = t.get(params)
+                m = masks[t.name].astype(w.dtype)
+                if m.size == 1:  # whole-tensor MeZO mask
+                    m = m.reshape(())
+                params = t.set(params, w * m)
+            if self.verbose:
+                print(f"target sparsity: {p_i:.4f}")
+
+        self.adapter.params = params
+        return params, None
+
+
+class GlobalMagPruner(GlobalPruner):
+    score = "mag"
+
+
+class GlobalGradMagAbsPruner(GlobalPruner):
+    score = "gradmagabs"
+
+
+class GlobalMeZoPruner(GlobalPruner):
+    score = "mezo"
+
+
+def _leading_dim(data: Any) -> int:
+    leaves = jax.tree_util.tree_leaves(data)
+    return leaves[0].shape[0]
+
+
+# -- registry names (parity with the reference) ----------------------------
+for _name, _cls in [
+    ("t5_wanda_pruner", WandaPruner),
+    ("vit_wanda_pruner", WandaPruner),
+    ("blipt5_wanda_pruner", WandaPruner),
+    ("llama_wanda_pruner", WandaPruner),
+    ("clip_wanda_pruner", WandaPruner),
+    ("bert_wanda_pruner", WandaPruner),
+    ("blipbert_wanda_pruner", WandaPruner),
+    ("t5_sparsegpt_pruner", SparseGPTPruner),
+    ("vit_sparsegpt_pruner", SparseGPTPruner),
+    ("blipt5_sparsegpt_pruner", SparseGPTPruner),
+    ("llama_sparsegpt_pruner", SparseGPTPruner),
+    ("clip_sparsegpt_pruner", SparseGPTPruner),
+    ("blipt5_global_mag_pruner", GlobalMagPruner),
+    ("blipt5_global_gradmagabs_pruner", GlobalGradMagAbsPruner),
+    ("blipt5_global_mezo_pruner", GlobalMeZoPruner),
+    ("llama_magnitude_pruner", GlobalMagPruner),
+]:
+    registry.register("pruner", _name, _cls, force=True)

@@ -1,0 +1,230 @@
+"""SparseGPT local pruning — Hessian-inverse OBS column sweep, jittable.
+
+Reference semantics reproduced from
+LAVIS/lavis/compression/pruners/sparsegpt_pruner.py:
+
+* Hessian accumulation ``H = (2/n) Σ XᵀX`` with running renormalization
+  (``SparseGPT.add_batch``, sparsegpt_pruner.py:71-82); n counts leading-batch
+  units (sequences), matching Wanda's scaler_row convention.
+* ``fasterprune`` (sparsegpt_pruner.py:84-218):
+  - dead-column handling (diag==0 -> 1, W col zeroed);
+  - ±inf clamped to the 0.999/0.001 quantiles;
+  - damped Cholesky with *cumulative* retry damping starting from raw H
+    (the reference's try/except loop becomes a bounded ``lax.while_loop`` —
+    XLA's Cholesky signals failure via NaNs instead of raising);
+  - ``Hinv = cholesky_upper(cholesky_inverse(chol(H)))``;
+  - per-128-column-block saliency ``W²/diag(Hinv)²`` thresholded per block
+    (``tmp <= sorted(flat)[int(numel*sparsity)]``), then a sequential OBS
+    column sweep propagating quantization error
+    ``W1[:, i:] -= err · Hinv1[i, i:]`` within the block and
+    ``W[:, i2:] -= Err1 @ Hinv[i1:i2, i2:]`` across blocks.
+
+TPU mapping: the rows dimension is fully vectorized (VPU); the cross-block
+error propagation is a dense matmul (MXU); the per-column loop is a
+``lax.fori_loop`` with static shapes (dynamic_slice on the column index).
+Everything is jittable so per-layer pruning fuses into one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def accumulate_hessian(
+    h: jax.Array, nsamples: jax.Array, x: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Fold one calibration batch into the running Hessian.
+
+    h: (in, in) float32; nsamples: scalar; x: (batch, ..., in).
+    Matches SparseGPT.add_batch (sparsegpt_pruner.py:71-82).
+    """
+    tmp = x.shape[0]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    new_n = nsamples + tmp
+    h = h * (nsamples / new_n)
+    h = h + (2.0 / new_n) * (x2.T @ x2)
+    return h, new_n
+
+
+def _clamp_infs(h: jax.Array) -> jax.Array:
+    """Replace ±inf with the 0.999/0.001 quantiles
+    (sparsegpt_pruner.py:104-112,136-144)."""
+    hi = jnp.quantile(h, 0.999)
+    lo = jnp.quantile(h, 0.001)
+    h = jnp.where(jnp.isposinf(h), hi, h)
+    h = jnp.where(jnp.isneginf(h), lo, h)
+    return h
+
+
+def robust_cholesky(h: jax.Array, damp: jax.Array, max_tries: int = 50) -> jax.Array:
+    """Lower-Cholesky with cumulative diagonal damping on failure.
+
+    First attempt is on the *undamped* matrix; each failed attempt adds
+    ``damp`` to the diagonal — mirroring the reference's while/try loop
+    (sparsegpt_pruner.py:117-131) with NaN detection instead of exceptions.
+    """
+    eye = jnp.eye(h.shape[0], dtype=h.dtype)
+
+    def cond(carry):
+        chol, _, tries = carry
+        return jnp.logical_and(jnp.isnan(chol).any(), tries < max_tries)
+
+    def body(carry):
+        _, h_cur, tries = carry
+        h_next = h_cur + damp * eye
+        return jnp.linalg.cholesky(h_next), h_next, tries + 1
+
+    chol0 = jnp.linalg.cholesky(h)
+    chol, _, _ = lax.while_loop(cond, body, (chol0, h, jnp.zeros((), jnp.int32)))
+    return chol
+
+
+def _cholesky_inverse(chol_lower: jax.Array) -> jax.Array:
+    """(L Lᵀ)⁻¹ from the lower factor, like torch.cholesky_inverse."""
+    eye = jnp.eye(chol_lower.shape[0], dtype=chol_lower.dtype)
+    return jax.scipy.linalg.cho_solve((chol_lower, True), eye)
+
+
+def prepare_hinv(h: jax.Array, percdamp: float = 0.01) -> Tuple[jax.Array, jax.Array]:
+    """Full numeric pipeline H -> (upper-Cholesky of H⁻¹, dead-column mask).
+
+    Returns (hinv_u, dead) where hinv_u is the upper factor U with
+    H⁻¹ = UᵀU (torch.linalg.cholesky(·, upper=True) equivalent: the transpose
+    of the lower factor) and dead marks zero-diagonal input columns.
+    """
+    diag_idx = jnp.arange(h.shape[0])
+    dead = jnp.diag(h) == 0
+    h = h.at[diag_idx, diag_idx].set(jnp.where(dead, 1.0, jnp.diag(h)))
+
+    h = _clamp_infs(h)
+    damp = percdamp * jnp.mean(jnp.diag(h))
+    chol = robust_cholesky(h, damp)
+
+    hinv_full = _cholesky_inverse(chol)
+    hinv_full = _clamp_infs(hinv_full)
+    damp2 = percdamp * jnp.mean(jnp.abs(jnp.diag(hinv_full)))
+    hinv_u = robust_cholesky(hinv_full, damp2).T  # upper factor: H⁻¹ = UᵀU
+    return hinv_u, dead
+
+
+def _sweep_block(
+    w_blk: jax.Array,
+    hinv_blk: jax.Array,
+    mask_blk: jax.Array,
+    prune_n: int,
+    prune_m: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sequential OBS sweep inside one column block.
+
+    w_blk: (rows, B); hinv_blk: (B, B) upper-triangular slice; mask_blk:
+    (rows, B) True==prune (ignored when prune_n != 0, where masks are chosen
+    on the fly per m-group). Returns (quantized block Q1, Err1).
+    """
+    rows, bsz = w_blk.shape
+    col_ids = jnp.arange(bsz)
+
+    def body(i, carry):
+        w1, q1, err1, mask1 = carry
+        w = lax.dynamic_slice(w1, (0, i), (rows, 1))[:, 0]
+        d = lax.dynamic_slice(hinv_blk, (i, i), (1, 1))[0, 0]
+
+        if prune_n != 0:
+            # Refresh the mask for this m-group from current (updated) weights
+            # (sparsegpt_pruner.py:196-198).
+            def new_group_mask(mask1):
+                grp_w = lax.dynamic_slice(w1, (0, i), (rows, prune_m))
+                grp_d = lax.dynamic_slice(
+                    jnp.diag(hinv_blk), (i,), (prune_m,)
+                )
+                sal = grp_w**2 / (grp_d[None, :] ** 2)
+                order = jnp.argsort(sal, axis=1, stable=True)
+                rank = jnp.argsort(order, axis=1, stable=True)
+                grp_mask = rank < prune_n
+                return lax.dynamic_update_slice(mask1, grp_mask, (0, i))
+
+            mask1 = lax.cond(
+                i % prune_m == 0, new_group_mask, lambda m: m, mask1
+            )
+
+        prune_here = lax.dynamic_slice(mask1, (0, i), (rows, 1))[:, 0]
+        q = jnp.where(prune_here, 0.0, w)
+        err = (w - q) / d
+
+        # W1[:, i:] -= err ⊗ Hinv1[i, i:]  (static-shape form: masked update
+        # over the whole block; col i itself lands exactly on q).
+        row = lax.dynamic_slice(hinv_blk, (i, 0), (1, bsz))[0]
+        upd = err[:, None] * (row * (col_ids >= i))[None, :]
+        w1 = w1 - upd
+
+        q1 = lax.dynamic_update_slice(q1, q[:, None], (0, i))
+        err1 = lax.dynamic_update_slice(err1, err[:, None], (0, i))
+        return w1, q1, err1, mask1
+
+    q1 = jnp.zeros_like(w_blk)
+    err1 = jnp.zeros_like(w_blk)
+    _, q1, err1, _ = lax.fori_loop(0, bsz, body, (w_blk, q1, err1, mask_blk))
+    return q1, err1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blocksize", "percdamp", "prune_n", "prune_m")
+)
+def sparsegpt_prune_weight(
+    w: jax.Array,
+    h: jax.Array,
+    sparsity: jax.Array,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+    prune_n: int = 0,
+    prune_m: int = 0,
+) -> jax.Array:
+    """Prune one (out, in) weight with the SparseGPT OBS sweep. Jittable.
+
+    Mirrors SparseGPT.fasterprune (sparsegpt_pruner.py:84-218); ``sparsity``
+    may be a traced scalar (per-layer ratios from the coarse stage).
+    """
+    orig_dtype = w.dtype
+    w = w.astype(jnp.float32)
+    h = h.astype(jnp.float32)
+    rows, cols = w.shape
+
+    hinv_u, dead = prepare_hinv(h, percdamp)
+    w = jnp.where(dead[None, :], 0.0, w)
+
+    # Python loop over column blocks: shapes are static per layer, so this
+    # unrolls into a fixed XLA program (cols/blocksize ≤ ~40 for d_ff=5120).
+    for i1 in range(0, cols, blocksize):
+        i2 = min(i1 + blocksize, cols)
+        count = i2 - i1
+
+        w_blk = w[:, i1:i2]
+        hinv_blk = hinv_u[i1:i2, i1:i2]
+
+        if prune_n == 0:
+            sal = w_blk**2 / (jnp.diag(hinv_blk)[None, :] ** 2)
+            flat = sal.reshape(-1)
+            idx = jnp.clip(
+                jnp.floor(flat.shape[0] * sparsity).astype(jnp.int32),
+                0,
+                flat.shape[0] - 1,
+            )
+            thres = jnp.sort(flat)[idx]
+            mask_blk = sal <= thres
+        else:
+            mask_blk = jnp.zeros((rows, count), dtype=bool)
+
+        q1, err1 = _sweep_block(w_blk, hinv_blk, mask_blk, prune_n, prune_m)
+
+        w = w.at[:, i1:i2].set(q1)
+        if i2 < cols:
+            # Cross-block error propagation — one dense MXU matmul.
+            w = w.at[:, i2:].add(
+                -jnp.dot(err1, hinv_u[i1:i2, i2:], preferred_element_type=jnp.float32)
+            )
+
+    return w.astype(orig_dtype)

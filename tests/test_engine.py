@@ -1,0 +1,86 @@
+"""Streaming fine-stage engine on the toy adapter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.toy import forward, make_toy_adapter, make_toy_batch
+
+from ecoflap_tpu.pruning.allocator import UniformSparsity
+from ecoflap_tpu.pruning.engine import (
+    check_stack_sparsity,
+    prune_stack_sparsegpt,
+    prune_stack_wanda,
+)
+
+
+@pytest.fixture
+def setup():
+    adapter = make_toy_adapter(num_blocks=3, dim=16, hidden=32)
+    batch = make_toy_batch(n=32, dim=16)
+    return adapter, batch
+
+
+def test_wanda_stack_prune_reaches_target(setup):
+    adapter, batch = setup
+    stack = adapter.stacks[0]
+    pruned = prune_stack_wanda(
+        stack, adapter.params, batch, UniformSparsity(0.5), verbose=False
+    )
+    adapter.params = pruned
+    sp = check_stack_sparsity(stack, pruned, verbose=False)
+    assert sp == pytest.approx(0.5, abs=0.02)
+
+
+def test_wanda_streaming_uses_pruned_upstream(setup):
+    """Block i>0 statistics must reflect the *pruned* upstream blocks: pruning
+    with a corrupted block-0 must change block-1's mask."""
+    adapter, batch = setup
+    stack = adapter.stacks[0]
+
+    p1 = prune_stack_wanda(
+        stack, adapter.params, batch, UniformSparsity(0.5), verbose=False
+    )
+
+    # corrupt block 0 heavily, re-run: downstream masks should differ
+    corrupted = jax.tree_util.tree_map(lambda x: x, adapter.params)
+    k = corrupted["blocks"]["fc1"]["kernel"]
+    corrupted["blocks"]["fc1"]["kernel"] = k.at[0].set(k[0] * 100.0)
+    p2 = prune_stack_wanda(
+        stack, corrupted, batch, UniformSparsity(0.5), verbose=False
+    )
+
+    m1 = np.asarray(p1["blocks"]["fc2"]["kernel"][1] == 0)
+    m2 = np.asarray(p2["blocks"]["fc2"]["kernel"][1] == 0)
+    assert (m1 != m2).any()
+
+
+def test_sparsegpt_stack_prune(setup):
+    adapter, batch = setup
+    stack = adapter.stacks[0]
+    pruned = prune_stack_sparsegpt(
+        stack, adapter.params, batch, UniformSparsity(0.5), blocksize=16, verbose=False
+    )
+    sp = check_stack_sparsity(stack, pruned, verbose=False)
+    assert sp >= 0.45  # per-tensor thresholds with ties prune >= target
+
+    # SparseGPT should approximate the dense output better than wanda at the
+    # same sparsity on this toy problem... at minimum, outputs stay finite.
+    out = forward(pruned, batch["x"])
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_per_layer_ratio_dict(setup):
+    adapter, batch = setup
+    stack = adapter.stacks[0]
+    ratios = {}
+    for i in range(stack.num_blocks):
+        for local in stack.linear_names:
+            ratios[stack.weight_key(i, local)] = 0.25 if i == 0 else 0.75
+    pruned = prune_stack_wanda(stack, adapter.params, batch, ratios, verbose=False)
+
+    b0 = np.asarray(pruned["blocks"]["fc1"]["kernel"][0] == 0).mean()
+    b2 = np.asarray(pruned["blocks"]["fc1"]["kernel"][2] == 0).mean()
+    assert b0 == pytest.approx(0.25, abs=0.05)
+    assert b2 == pytest.approx(0.75, abs=0.05)

@@ -1,0 +1,156 @@
+"""End-to-end pruner classes (registry API) on the toy adapter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.toy import make_toy_adapter, make_toy_batch
+
+from ecoflap_tpu.pruning import load_pruner
+from ecoflap_tpu.pruning.pruners import GlobalMagPruner, WandaPruner
+
+
+@pytest.fixture
+def setup():
+    adapter = make_toy_adapter(num_blocks=4, dim=16, hidden=32)
+    batch = make_toy_batch(n=32, dim=16)
+    return adapter, batch
+
+
+def test_registry_dispatch(setup):
+    adapter, batch = setup
+    pruner = load_pruner(
+        "blipt5_wanda_pruner",
+        adapter,
+        batch,
+        num_microbatches=4,
+        cfg={"prune_spec": "4-0.5-1.0-1.0", "verbose": False},
+    )
+    assert isinstance(pruner, WandaPruner)
+
+
+def test_uniform_wanda_prune(setup):
+    adapter, batch = setup
+    pruner = load_pruner(
+        "t5_wanda_pruner",
+        adapter,
+        batch,
+        num_microbatches=4,
+        cfg={"prune_spec": "4-0.5-1.0-1.0", "verbose": False},
+    )
+    params, sparsity_dict = pruner.prune()
+    assert sparsity_dict is None  # no granularity -> uniform, no dict
+    assert pruner.check_sparsity() == pytest.approx(0.5, abs=0.02)
+
+
+def test_ecoflap_zeroth_two_stage(setup):
+    """Full ECoFLaP: MeZO coarse stage at block granularity + wanda fine."""
+    adapter, batch = setup
+    pruner = load_pruner(
+        "blipt5_wanda_pruner",
+        adapter,
+        batch,
+        num_microbatches=4,
+        cfg={
+            "prune_spec": "4-0.5-1.0-1.0",
+            "sparsity_ratio_granularity": "block",
+            "score_method": "MEZO-GradOnly_sum",
+            "max_sparsity_per_layer": 0.6,
+            "num_data_first_stage": 16,
+            "verbose": False,
+        },
+    )
+    params, sparsity_dict = pruner.prune()
+    assert sparsity_dict is not None
+    # per-block ratios: all weights in a block share the block's ratio
+    keys = sorted(sparsity_dict)
+    assert "toy.blocks.0.fc1.weight" in sparsity_dict
+    for i in range(4):
+        assert sparsity_dict[f"toy.blocks.{i}.fc1.weight"] == pytest.approx(
+            sparsity_dict[f"toy.blocks.{i}.fc2.weight"]
+        )
+        assert sparsity_dict[f"toy.blocks.{i}.fc1.weight"] <= 0.6 + 1e-6
+    # global budget approximately preserved
+    assert pruner.check_sparsity() == pytest.approx(0.5, abs=0.03)
+
+
+def test_first_order_two_stage(setup):
+    adapter, batch = setup
+    pruner = load_pruner(
+        "blipt5_wanda_pruner",
+        adapter,
+        batch,
+        num_microbatches=4,
+        cfg={
+            "prune_spec": "4-0.5-1.0-1.0",
+            "sparsity_ratio_granularity": "block",
+            "score_method": "GradMagAbs_sum",
+            "max_sparsity_per_layer": 0.7,
+            "num_data_first_stage": 16,
+            "verbose": False,
+        },
+    )
+    _, sparsity_dict = pruner.prune()
+    assert sparsity_dict is not None
+    assert pruner.check_sparsity() == pytest.approx(0.5, abs=0.03)
+
+
+def test_sparsity_dict_reuse(setup):
+    """Passing a precomputed sparsity dict skips the coarse stage
+    (--sparsity_dict flag, wanda_pruner.py:293-296)."""
+    adapter, batch = setup
+    stack = adapter.stacks[0]
+    given = {}
+    for i in range(4):
+        for local in stack.linear_names:
+            given[stack.weight_key(i, local)] = 0.5
+    pruner = load_pruner(
+        "t5_wanda_pruner",
+        adapter,
+        batch,
+        num_microbatches=4,
+        cfg={
+            "prune_spec": "4-0.5-1.0-1.0",
+            "sparsity_dict": given,
+            "sparsity_ratio_granularity": "block",
+            "verbose": False,
+        },
+    )
+    _, sd = pruner.prune()
+    assert sd == given
+
+
+def test_global_mag_pruner(setup):
+    adapter, batch = setup
+    pruner = load_pruner(
+        "blipt5_global_mag_pruner",
+        adapter,
+        batch,
+        num_microbatches=4,
+        cfg={"prune_spec": "4-0.5-1.0-1.0", "iteration": 3, "verbose": False},
+    )
+    assert isinstance(pruner, GlobalMagPruner)
+    params, _ = pruner.prune()
+
+    targets = adapter.targets()
+    zeros = sum(int(jnp.sum(t.get(params) == 0)) for t in targets)
+    total = sum(t.numel(params) for t in targets)
+    assert zeros / total == pytest.approx(0.5, abs=0.02)
+
+
+def test_global_mezo_whole_tensor_masks(setup):
+    """Reference's global MeZO pruner keeps/drops whole tensors."""
+    adapter, batch = setup
+    pruner = load_pruner(
+        "blipt5_global_mezo_pruner",
+        adapter,
+        batch,
+        num_microbatches=4,
+        cfg={"prune_spec": "4-0.5-1.0-1.0", "iteration": 1, "verbose": False},
+    )
+    params, _ = pruner.prune()
+    for t in adapter.targets():
+        w = np.asarray(t.get(params))
+        frac = (w == 0).mean()
+        assert frac in (0.0, 1.0)
