@@ -80,3 +80,77 @@ def gelu(x: jax.Array, approximate: bool = True) -> jax.Array:
 def quick_gelu(x: jax.Array) -> jax.Array:
     """CLIP's x·sigmoid(1.702x) (CoOp/clip/model.py QuickGELU)."""
     return x * jax.nn.sigmoid(1.702 * x)
+
+
+def activation(name: str):
+    return {"gelu": gelu, "quick_gelu": quick_gelu, "relu": jax.nn.relu}[name]
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Multi-head scaled-dot-product attention, bias-additive.
+
+    Args:
+      q: (B, Sq, H·Dh) projected queries.
+      k/v: (B, Sk, H·Dh) projected keys/values.
+      num_heads: H.
+      scale: score scale; default Dh^-0.5; pass 1.0 for T5 (unscaled).
+      bias: additive score bias broadcastable to (B, H, Sq, Sk) — attention
+        masks (0 / -inf style) and/or relative position biases.
+
+    Softmax runs in float32 (TPU-safe for bf16 activations); output returns in
+    the query dtype.
+    """
+    b, sq, _ = q.shape
+    sk = k.shape[1]
+    dh = q.shape[-1] // num_heads
+    if scale is None:
+        scale = dh**-0.5
+    qh = q.reshape(b, sq, num_heads, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, sk, num_heads, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, sk, num_heads, dh).transpose(0, 2, 1, 3)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, num_heads * dh).astype(q.dtype)
+
+
+def extract_patches(x: jax.Array, patch: int) -> jax.Array:
+    """(B, H, W, C) NHWC image -> (B, N, patch·patch·C) patch sequence.
+
+    TPU-native replacement for the reference's Conv2d patch embed
+    (eva_vit.py:199-210): a reshape/transpose feeding one big matmul keeps the
+    FLOPs on the MXU instead of a convolution with stride == kernel size.
+    Patch pixel ordering matches Conv2d weight layout flattened as
+    (C, ph, pw) -> the checkpoint converter reshapes conv kernels accordingly.
+    """
+    b, h, w, c = x.shape
+    gh, gw = h // patch, w // patch
+    x = x.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, gh, gw, C, ph, pw)
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def causal_bias(seq: int, dtype=jnp.float32) -> jax.Array:
+    """(1, 1, S, S) additive causal mask (-inf above the diagonal)."""
+    mask = jnp.tril(jnp.ones((seq, seq), jnp.bool_))
+    return jnp.where(mask, 0.0, -jnp.inf).astype(dtype)[None, None]
+
+
+def mask_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """(B, Sk) 0/1 attention mask -> (B, 1, 1, Sk) additive bias.
+
+    Uses a large-negative instead of -inf so fully-masked rows (all-pad
+    sequences in a batched calibration set) softmax to uniform, not NaN.
+    """
+    return jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(dtype)
