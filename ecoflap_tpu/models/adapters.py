@@ -9,7 +9,7 @@ weights at the pruning boundary (cf. targets.py docstring).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 
@@ -19,14 +19,25 @@ from ecoflap_tpu.pruning.adapter import StackSpec
 PyTree = Any
 
 
-def kernel_get(bp: PyTree, local: str) -> jax.Array:
-    """Torch-layout (out, in) view of block-local linear ``local``."""
-    return get_leaf(bp, f"{local}.kernel").T
+def kernel_get(
+    bp: PyTree, local: str, local_to_path: Optional[Dict[str, str]] = None
+) -> jax.Array:
+    """Torch-layout (out, in) view of block-local linear ``local``.
+
+    ``local_to_path`` maps reference-style local names (the public sparsity-key
+    component, e.g. T5's ``layer.0.SelfAttention.q``) onto the model's internal
+    tree path (``attn.q``)."""
+    path = (local_to_path or {}).get(local, local)
+    return get_leaf(bp, f"{path}.kernel").T
 
 
-def kernel_set(bp: PyTree, local: str, w: jax.Array) -> PyTree:
-    old = get_leaf(bp, f"{local}.kernel")
-    return set_leaf(bp, f"{local}.kernel", w.T.astype(old.dtype))
+def kernel_set(
+    bp: PyTree, local: str, w: jax.Array,
+    local_to_path: Optional[Dict[str, str]] = None,
+) -> PyTree:
+    path = (local_to_path or {}).get(local, local)
+    old = get_leaf(bp, f"{path}.kernel")
+    return set_leaf(bp, f"{path}.kernel", w.T.astype(old.dtype))
 
 
 def stacked_get_block(blocks_path: str, params: PyTree, i) -> PyTree:
@@ -49,6 +60,7 @@ def make_stack(
     prepare_inputs: Callable,
     block_forward: Callable,
     blocks_path: str = "blocks",
+    local_to_path: Optional[Dict[str, str]] = None,
 ) -> StackSpec:
     """StackSpec over a stacked-blocks subtree at ``blocks_path``."""
     return StackSpec(
@@ -60,6 +72,6 @@ def make_stack(
         block_forward=block_forward,
         get_block=functools.partial(stacked_get_block, blocks_path),
         set_block=functools.partial(stacked_set_block, blocks_path),
-        weight_get=kernel_get,
-        weight_set=kernel_set,
+        weight_get=functools.partial(kernel_get, local_to_path=local_to_path),
+        weight_set=functools.partial(kernel_set, local_to_path=local_to_path),
     )
