@@ -1,0 +1,126 @@
+"""Headline benchmark: ECoFLaP zeroth-order + Wanda prune of BLIP-2 FlanT5-XL
+@0.5 sparsity, end to end (coarse MeZO scoring + fine Wanda stage).
+
+Reference baseline: 6114.9 s on one GPU (BASELINE.md, training_statistics/
+cc3m-blipt5_wanda_pruner_0.5-1.0-1.0_olmezo-gradient_sum_block0.6.yaml).
+Workload parity: same model shapes (EVA-ViT-g 39 blocks / FlanT5-XL 24+24
+blocks), same calibration budget (128 samples, batch 8 -> 16 microbatches),
+same flags (MEZO-GradOnly_sum, block granularity, max sparsity 0.6, keep 0.5).
+Calibration data is synthetic (wall-clock is weight-value independent).
+
+Prints ONE JSON line:
+  {"metric": "ecoflap_zeroth_prune_wall_s", "value": <seconds>, "unit": "s",
+   "vs_baseline": <value / 6114.9>}   (< 1.0 = faster than reference)
+
+Env knobs:
+  ECOFLAP_BENCH_PRESET   xl (default) | small  (small = CPU smoke)
+  ECOFLAP_BENCH_SAMPLES  calibration samples (default 128)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_S = 6114.9
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build(preset: str):
+    from ecoflap_tpu.models import blip2, eva_vit, qformer
+    from ecoflap_tpu.models import t5 as t5_mod
+
+    if preset == "xl":
+        cfg = blip2.blip2_flant5xl()
+        dtype = jnp.bfloat16
+    else:
+        vit = eva_vit.EvaViTConfig(
+            img_size=64, patch_size=8, embed_dim=128, depth=4, num_heads=4,
+            mlp_hidden=256)
+        cfg = blip2.Blip2Config(
+            vit=vit,
+            t5=t5_mod.T5Config(vocab_size=512, d_model=128, d_kv=32, d_ff=256,
+                               num_layers=2, num_decoder_layers=2, num_heads=4),
+            qformer=qformer.QFormerConfig(
+                hidden_size=64, num_layers=2, num_heads=4,
+                intermediate_size=128, encoder_width=vit.embed_dim,
+                num_query_tokens=8),
+        )
+        dtype = jnp.float32
+    log(f"init params ({preset}, {dtype.__name__}) ...")
+    params = blip2.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    log(f"  {n_params/1e9:.2f}B params")
+    return cfg, params
+
+
+def synthetic_batch(cfg, n, src=32, tgt=32, dtype=jnp.bfloat16):
+    rng = np.random.default_rng(0)
+    img = cfg.vit.img_size
+    labels = rng.integers(2, min(cfg.t5.vocab_size, 30000), size=(n, tgt))
+    return {
+        "image": jnp.asarray(rng.normal(size=(n, img, img, 3)), dtype),
+        "text_input_ids": jnp.asarray(
+            rng.integers(2, min(cfg.t5.vocab_size, 30000), size=(n, src)),
+            jnp.int32),
+        "text_input_mask": jnp.ones((n, src), jnp.int32),
+        "labels": jnp.asarray(labels, jnp.int32),
+    }
+
+
+def main() -> None:
+    preset = os.environ.get("ECOFLAP_BENCH_PRESET", "xl")
+    n_samples = int(os.environ.get("ECOFLAP_BENCH_SAMPLES", "128"))
+    batch_size = 8  # reference calib bs (scripts/blip2/ecoflap_zeroth.py)
+
+    from ecoflap_tpu.models import blip2
+    from ecoflap_tpu.pruning.pruners import WandaPruner
+
+    cfg, params = build(preset)
+    dtype = jnp.bfloat16 if preset == "xl" else jnp.float32
+    batch = synthetic_batch(cfg, n_samples, dtype=dtype)
+    adapter = blip2.make_adapter(cfg, params)
+
+    log("running ECoFLaP zeroth-order + Wanda @0.5 ...")
+    t0 = time.time()
+    pruner = WandaPruner(
+        adapter, batch,
+        num_microbatches=max(1, n_samples // batch_size),
+        stack_specs={
+            "visual_encoder.blocks": f"{cfg.vit.depth}-0.5-1.0-1.0",
+            "t5_model.encoder.block": f"{cfg.t5.num_layers}-0.5-1.0-1.0",
+            "t5_model.decoder.block": f"{cfg.t5.num_decoder_layers}-0.5-1.0-1.0",
+        },
+        sparsity_ratio_granularity="block",
+        max_sparsity_per_layer=0.6,
+        score_method="MEZO-GradOnly_sum",
+        num_data_first_stage=n_samples,
+        verbose=False,
+    )
+    pruned, sparsity_dict = pruner.prune()
+    jax.block_until_ready(jax.tree_util.tree_leaves(pruned)[0])
+    wall = time.time() - t0
+
+    sparsity = pruner.check_sparsity()
+    log(f"wall {wall:.1f}s  global sparsity {sparsity:.4f}  "
+        f"groups {len(sparsity_dict) if sparsity_dict else 0}")
+
+    print(json.dumps({
+        "metric": "ecoflap_zeroth_prune_wall_s",
+        "value": round(wall, 2),
+        "unit": "s",
+        "vs_baseline": round(wall / BASELINE_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
