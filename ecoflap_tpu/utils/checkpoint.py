@@ -1,0 +1,434 @@
+"""Checkpoint import/export: reference torch state_dicts <-> jax pytrees.
+
+The reference ships .pth state_dicts (pruned_checkpoint/*.pth,
+evaluate_blip.py:438-456) with torch ``(out, in)`` linear weights; our params
+are jax ``(in, out)`` kernels with STACKED blocks (one (L, ...) leaf per
+parameter kind). Converters here:
+
+* gather ``blocks.{i}.*`` tensors into stacked leaves,
+* transpose linears into jax layout,
+* reshape Conv2d patch embeds into the matmul layout ``extract_patches``
+  expects (flatten (C, ph, pw) then transpose — same pixel order),
+* hoist T5's block-0 ``relative_attention_bias`` to stack level,
+* and reverse all of it for export, so pruned checkpoints round-trip into
+  reference-compatible key naming (incl. the quirks: fused qkv with separate
+  q/v biases eva_vit.py:79-85, ``visual.``/``visual_encoder.`` remaps
+  wanda_pruner.py:570-585).
+
+All converters take/return dicts of numpy arrays keyed by reference names on
+the torch side; use ``load_torch_checkpoint`` / ``save_torch_checkpoint`` for
+.pth IO (torch-cpu is available in the image).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+PyTree = Any
+StateDict = Dict[str, np.ndarray]
+
+
+def load_torch_checkpoint(path: str) -> StateDict:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def save_torch_checkpoint(state: StateDict, path: str) -> None:
+    import torch
+
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in state.items()}, path)
+
+
+def _stack(state: StateDict, fmt: str, n: int) -> np.ndarray:
+    return np.stack([state[fmt.format(i=i)] for i in range(n)])
+
+
+def _stack_t(state: StateDict, fmt: str, n: int) -> np.ndarray:
+    """Stack torch (out, in) linears into a (L, in, out) kernel leaf."""
+    return np.stack([state[fmt.format(i=i)].T for i in range(n)])
+
+
+def _cast(tree: PyTree, dtype) -> PyTree:
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), tree)
+
+
+# ---------------------------------------------------------------------------
+# EVA ViT (eva_vit.py naming; prefix "" for a bare tower, "visual." for
+# EVA-CLIP, "visual_encoder." inside BLIP-2 checkpoints)
+# ---------------------------------------------------------------------------
+
+def convert_eva_vit(state: StateDict, cfg, prefix: str = "",
+                    dtype=jnp.float32) -> PyTree:
+    p = prefix
+    L = cfg.depth
+    conv = state[f"{p}patch_embed.proj.weight"]  # (D, C, ph, pw)
+    d = conv.shape[0]
+    out = {
+        "patch_embed": {
+            "kernel": conv.reshape(d, -1).T,  # (C·ph·pw, D), matches extract_patches
+            "bias": state[f"{p}patch_embed.proj.bias"],
+        },
+        "cls_token": state[f"{p}cls_token"],
+        "pos_embed": state[f"{p}pos_embed"],
+        "blocks": {
+            "norm1": {
+                "scale": _stack(state, p + "blocks.{i}.norm1.weight", L),
+                "bias": _stack(state, p + "blocks.{i}.norm1.bias", L),
+            },
+            "attn": {
+                "qkv": {"kernel": _stack_t(state, p + "blocks.{i}.attn.qkv.weight", L)},
+                "q_bias": _stack(state, p + "blocks.{i}.attn.q_bias", L),
+                "v_bias": _stack(state, p + "blocks.{i}.attn.v_bias", L),
+                "proj": {
+                    "kernel": _stack_t(state, p + "blocks.{i}.attn.proj.weight", L),
+                    "bias": _stack(state, p + "blocks.{i}.attn.proj.bias", L),
+                },
+            },
+            "norm2": {
+                "scale": _stack(state, p + "blocks.{i}.norm2.weight", L),
+                "bias": _stack(state, p + "blocks.{i}.norm2.bias", L),
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": _stack_t(state, p + "blocks.{i}.mlp.fc1.weight", L),
+                    "bias": _stack(state, p + "blocks.{i}.mlp.fc1.bias", L),
+                },
+                "fc2": {
+                    "kernel": _stack_t(state, p + "blocks.{i}.mlp.fc2.weight", L),
+                    "bias": _stack(state, p + "blocks.{i}.mlp.fc2.bias", L),
+                },
+            },
+        },
+    }
+    if cfg.final_norm:
+        out["norm"] = {"scale": state[f"{p}norm.weight"],
+                       "bias": state[f"{p}norm.bias"]}
+    if cfg.head_dim:
+        out["head"] = {"kernel": state[f"{p}head.weight"].T,
+                       "bias": state[f"{p}head.bias"]}
+    return _cast(out, dtype)
+
+
+def export_eva_vit(params: PyTree, cfg, prefix: str = "") -> StateDict:
+    p = prefix
+    out: StateDict = {}
+    pe = np.asarray(params["patch_embed"]["kernel"], np.float32)
+    d = pe.shape[1]
+    out[f"{p}patch_embed.proj.weight"] = pe.T.reshape(
+        d, cfg.in_chans, cfg.patch_size, cfg.patch_size
+    )
+    out[f"{p}patch_embed.proj.bias"] = np.asarray(params["patch_embed"]["bias"], np.float32)
+    out[f"{p}cls_token"] = np.asarray(params["cls_token"], np.float32)
+    out[f"{p}pos_embed"] = np.asarray(params["pos_embed"], np.float32)
+    b = params["blocks"]
+    for i in range(cfg.depth):
+        out[f"{p}blocks.{i}.norm1.weight"] = np.asarray(b["norm1"]["scale"][i], np.float32)
+        out[f"{p}blocks.{i}.norm1.bias"] = np.asarray(b["norm1"]["bias"][i], np.float32)
+        out[f"{p}blocks.{i}.attn.qkv.weight"] = np.asarray(b["attn"]["qkv"]["kernel"][i], np.float32).T
+        out[f"{p}blocks.{i}.attn.q_bias"] = np.asarray(b["attn"]["q_bias"][i], np.float32)
+        out[f"{p}blocks.{i}.attn.v_bias"] = np.asarray(b["attn"]["v_bias"][i], np.float32)
+        out[f"{p}blocks.{i}.attn.proj.weight"] = np.asarray(b["attn"]["proj"]["kernel"][i], np.float32).T
+        out[f"{p}blocks.{i}.attn.proj.bias"] = np.asarray(b["attn"]["proj"]["bias"][i], np.float32)
+        out[f"{p}blocks.{i}.norm2.weight"] = np.asarray(b["norm2"]["scale"][i], np.float32)
+        out[f"{p}blocks.{i}.norm2.bias"] = np.asarray(b["norm2"]["bias"][i], np.float32)
+        out[f"{p}blocks.{i}.mlp.fc1.weight"] = np.asarray(b["mlp"]["fc1"]["kernel"][i], np.float32).T
+        out[f"{p}blocks.{i}.mlp.fc1.bias"] = np.asarray(b["mlp"]["fc1"]["bias"][i], np.float32)
+        out[f"{p}blocks.{i}.mlp.fc2.weight"] = np.asarray(b["mlp"]["fc2"]["kernel"][i], np.float32).T
+        out[f"{p}blocks.{i}.mlp.fc2.bias"] = np.asarray(b["mlp"]["fc2"]["bias"][i], np.float32)
+    if cfg.final_norm and "norm" in params:
+        out[f"{p}norm.weight"] = np.asarray(params["norm"]["scale"], np.float32)
+        out[f"{p}norm.bias"] = np.asarray(params["norm"]["bias"], np.float32)
+    if cfg.head_dim and "head" in params:
+        out[f"{p}head.weight"] = np.asarray(params["head"]["kernel"], np.float32).T
+        out[f"{p}head.bias"] = np.asarray(params["head"]["bias"], np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# T5 (HF naming, modeling_t5.py)
+# ---------------------------------------------------------------------------
+
+def _convert_t5_stack(state: StateDict, cfg, which: str, dtype) -> Dict[str, Any]:
+    enc = which == "encoder"
+    L = cfg.num_layers if enc else cfg.num_decoder_layers
+    p = f"{which}.block.{{i}}."
+    out: Dict[str, Any] = {
+        "rel_bias": state[
+            f"{which}.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        ],
+        "final_ln": {"scale": state[f"{which}.final_layer_norm.weight"]},
+    }
+    attn0 = {
+        k: {"kernel": _stack_t(state, p + f"layer.0.SelfAttention.{k}.weight", L)}
+        for k in ("q", "k", "v", "o")
+    }
+    if enc:
+        out["blocks"] = {
+            "ln0": {"scale": _stack(state, p + "layer.0.layer_norm.weight", L)},
+            "attn": attn0,
+            "ln1": {"scale": _stack(state, p + "layer.1.layer_norm.weight", L)},
+            "mlp": {
+                k: {"kernel": _stack_t(state, p + f"layer.1.DenseReluDense.{k}.weight", L)}
+                for k in ("wi_0", "wi_1", "wo")
+            },
+        }
+    else:
+        out["blocks"] = {
+            "ln0": {"scale": _stack(state, p + "layer.0.layer_norm.weight", L)},
+            "self_attn": attn0,
+            "ln1": {"scale": _stack(state, p + "layer.1.layer_norm.weight", L)},
+            "cross_attn": {
+                k: {"kernel": _stack_t(state, p + f"layer.1.EncDecAttention.{k}.weight", L)}
+                for k in ("q", "k", "v", "o")
+            },
+            "ln2": {"scale": _stack(state, p + "layer.2.layer_norm.weight", L)},
+            "mlp": {
+                k: {"kernel": _stack_t(state, p + f"layer.2.DenseReluDense.{k}.weight", L)}
+                for k in ("wi_0", "wi_1", "wo")
+            },
+        }
+    return out
+
+
+def convert_t5(state: StateDict, cfg, dtype=jnp.float32) -> PyTree:
+    """HF/reference ``t5_model.*``-style state_dict (prefix stripped) -> our
+    T5 pytree."""
+    out = {
+        "shared": state["shared.weight"],
+        "encoder": _convert_t5_stack(state, cfg, "encoder", dtype),
+        "decoder": _convert_t5_stack(state, cfg, "decoder", dtype),
+        "lm_head": {"kernel": state["lm_head.weight"].T},
+    }
+    return _cast(out, dtype)
+
+
+def export_t5(params: PyTree, cfg) -> StateDict:
+    out: StateDict = {"shared.weight": np.asarray(params["shared"], np.float32)}
+    out["lm_head.weight"] = np.asarray(params["lm_head"]["kernel"], np.float32).T
+    for which in ("encoder", "decoder"):
+        enc = which == "encoder"
+        sub = params[which]
+        L = cfg.num_layers if enc else cfg.num_decoder_layers
+        out[f"{which}.block.0.layer.0.SelfAttention.relative_attention_bias.weight"] = (
+            np.asarray(sub["rel_bias"], np.float32))
+        out[f"{which}.final_layer_norm.weight"] = np.asarray(
+            sub["final_ln"]["scale"], np.float32)
+        b = sub["blocks"]
+        attn_key = "attn" if enc else "self_attn"
+        for i in range(L):
+            out[f"{which}.block.{i}.layer.0.layer_norm.weight"] = np.asarray(
+                b["ln0"]["scale"][i], np.float32)
+            for k in ("q", "k", "v", "o"):
+                out[f"{which}.block.{i}.layer.0.SelfAttention.{k}.weight"] = (
+                    np.asarray(b[attn_key][k]["kernel"][i], np.float32).T)
+            out[f"{which}.block.{i}.layer.1.layer_norm.weight"] = np.asarray(
+                b["ln1"]["scale"][i], np.float32)
+            if enc:
+                for k in ("wi_0", "wi_1", "wo"):
+                    out[f"{which}.block.{i}.layer.1.DenseReluDense.{k}.weight"] = (
+                        np.asarray(b["mlp"][k]["kernel"][i], np.float32).T)
+            else:
+                for k in ("q", "k", "v", "o"):
+                    out[f"{which}.block.{i}.layer.1.EncDecAttention.{k}.weight"] = (
+                        np.asarray(b["cross_attn"][k]["kernel"][i], np.float32).T)
+                out[f"{which}.block.{i}.layer.2.layer_norm.weight"] = np.asarray(
+                    b["ln2"]["scale"][i], np.float32)
+                for k in ("wi_0", "wi_1", "wo"):
+                    out[f"{which}.block.{i}.layer.2.DenseReluDense.{k}.weight"] = (
+                        np.asarray(b["mlp"][k]["kernel"][i], np.float32).T)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LLaMA (HF naming)
+# ---------------------------------------------------------------------------
+
+def convert_llama(state: StateDict, cfg, dtype=jnp.float32) -> PyTree:
+    L = cfg.num_layers
+    p = "model.layers.{i}."
+    out = {
+        "embed_tokens": state["model.embed_tokens.weight"],
+        "layers": {
+            "input_ln": {"scale": _stack(state, p + "input_layernorm.weight", L)},
+            "attn": {
+                k: {"kernel": _stack_t(state, p + f"self_attn.{k}_proj.weight", L)}
+                for k in ("q", "k", "v", "o")
+            },
+            "post_ln": {"scale": _stack(state, p + "post_attention_layernorm.weight", L)},
+            "mlp": {
+                k: {"kernel": _stack_t(state, p + f"mlp.{k}_proj.weight", L)}
+                for k in ("gate", "up", "down")
+            },
+        },
+        "norm": {"scale": state["model.norm.weight"]},
+        "lm_head": {"kernel": state["lm_head.weight"].T},
+    }
+    return _cast(out, dtype)
+
+
+def export_llama(params: PyTree, cfg) -> StateDict:
+    out: StateDict = {
+        "model.embed_tokens.weight": np.asarray(params["embed_tokens"], np.float32),
+        "model.norm.weight": np.asarray(params["norm"]["scale"], np.float32),
+        "lm_head.weight": np.asarray(params["lm_head"]["kernel"], np.float32).T,
+    }
+    b = params["layers"]
+    for i in range(cfg.num_layers):
+        out[f"model.layers.{i}.input_layernorm.weight"] = np.asarray(
+            b["input_ln"]["scale"][i], np.float32)
+        out[f"model.layers.{i}.post_attention_layernorm.weight"] = np.asarray(
+            b["post_ln"]["scale"][i], np.float32)
+        for k in ("q", "k", "v", "o"):
+            out[f"model.layers.{i}.self_attn.{k}_proj.weight"] = np.asarray(
+                b["attn"][k]["kernel"][i], np.float32).T
+        for k in ("gate", "up", "down"):
+            out[f"model.layers.{i}.mlp.{k}_proj.weight"] = np.asarray(
+                b["mlp"][k]["kernel"][i], np.float32).T
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLIP (OpenAI naming, CoOp/clip/model.py) — visual resblock tower + text
+# ---------------------------------------------------------------------------
+
+def _convert_resblocks(state: StateDict, prefix: str, L: int) -> Dict[str, Any]:
+    p = prefix + ".resblocks.{i}."
+    return {
+        "ln_1": {"scale": _stack(state, p + "ln_1.weight", L),
+                 "bias": _stack(state, p + "ln_1.bias", L)},
+        "attn": {
+            "in_proj": {
+                "kernel": _stack_t(state, p + "attn.in_proj_weight", L),
+                "bias": _stack(state, p + "attn.in_proj_bias", L),
+            },
+            "out_proj": {
+                "kernel": _stack_t(state, p + "attn.out_proj.weight", L),
+                "bias": _stack(state, p + "attn.out_proj.bias", L),
+            },
+        },
+        "ln_2": {"scale": _stack(state, p + "ln_2.weight", L),
+                 "bias": _stack(state, p + "ln_2.bias", L)},
+        "mlp": {
+            "c_fc": {"kernel": _stack_t(state, p + "mlp.c_fc.weight", L),
+                     "bias": _stack(state, p + "mlp.c_fc.bias", L)},
+            "c_proj": {"kernel": _stack_t(state, p + "mlp.c_proj.weight", L),
+                       "bias": _stack(state, p + "mlp.c_proj.bias", L)},
+        },
+    }
+
+
+def convert_clip(state: StateDict, cfg, dtype=jnp.float32) -> PyTree:
+    """OpenAI CLIP state_dict -> our CLIPConfig pytree. Handles both the
+    resblock visual tower (cfg.visual) and EVA visual (cfg.eva_visual, keys
+    ``visual.*`` in eva_vit naming)."""
+    tcfg = cfg.text
+    out: Dict[str, Any] = {
+        "text": {
+            "token_embedding": state["token_embedding.weight"],
+            "positional_embedding": state["positional_embedding"],
+            "blocks": _convert_resblocks(state, "transformer", tcfg.layers),
+            "ln_final": {"scale": state["ln_final.weight"],
+                         "bias": state["ln_final.bias"]},
+            "text_projection": state["text_projection"],
+        },
+        "logit_scale": state["logit_scale"],
+    }
+    if cfg.eva_visual is not None:
+        out["visual"] = convert_eva_vit(state, cfg.eva_visual, "visual.", dtype)
+    else:
+        vcfg = cfg.visual
+        conv = state["visual.conv1.weight"]
+        d = conv.shape[0]
+        out["visual"] = {
+            "conv1": {"kernel": conv.reshape(d, -1).T},
+            "class_embedding": state["visual.class_embedding"],
+            "positional_embedding": state["visual.positional_embedding"],
+            "ln_pre": {"scale": state["visual.ln_pre.weight"],
+                       "bias": state["visual.ln_pre.bias"]},
+            "blocks": _convert_resblocks(state, "visual.transformer", vcfg.layers),
+            "ln_post": {"scale": state["visual.ln_post.weight"],
+                        "bias": state["visual.ln_post.bias"]},
+            "proj": state["visual.proj"],
+        }
+    return _cast(out, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Q-Former + BLIP-2 composition (blip2_t5 checkpoint naming)
+# ---------------------------------------------------------------------------
+
+def convert_qformer(state: StateDict, cfg, prefix: str = "Qformer.bert.",
+                    dtype=jnp.float32) -> PyTree:
+    def dense(name):
+        return {"kernel": state[f"{name}.weight"].T, "bias": state[f"{name}.bias"]}
+
+    def ln(name):
+        return {"scale": state[f"{name}.weight"], "bias": state[f"{name}.bias"]}
+
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = f"{prefix}encoder.layer.{i}."
+        layer: Dict[str, Any] = {
+            "self_attn": {
+                "query": dense(lp + "attention.self.query"),
+                "key": dense(lp + "attention.self.key"),
+                "value": dense(lp + "attention.self.value"),
+                "output": {"dense": dense(lp + "attention.output.dense"),
+                           "ln": ln(lp + "attention.output.LayerNorm")},
+            },
+            "ffn": {
+                "intermediate": dense(lp + "intermediate_query.dense"),
+                "output": {"dense": dense(lp + "output_query.dense"),
+                           "ln": ln(lp + "output_query.LayerNorm")},
+            },
+        }
+        if i % cfg.cross_attention_freq == 0:
+            layer["cross_attn"] = {
+                "query": dense(lp + "crossattention.self.query"),
+                "key": dense(lp + "crossattention.self.key"),
+                "value": dense(lp + "crossattention.self.value"),
+                "output": {"dense": dense(lp + "crossattention.output.dense"),
+                           "ln": ln(lp + "crossattention.output.LayerNorm")},
+            }
+        layers.append(layer)
+    return _cast(
+        {"embeddings_ln": ln(prefix + "embeddings.LayerNorm"), "layers": layers},
+        dtype,
+    )
+
+
+def convert_blip2(state: StateDict, cfg, dtype=jnp.float32,
+                  vit_dtype=None, t5_dtype=None) -> PyTree:
+    """Full Blip2T5 checkpoint -> composition pytree. Accepts the reference's
+    top-level naming (visual_encoder.*, Qformer.bert.*, query_tokens,
+    t5_proj.*, t5_model.*, ln_vision.*)."""
+    t5_state = {k[len("t5_model."):]: v for k, v in state.items()
+                if k.startswith("t5_model.")}
+    return {
+        "visual_encoder": convert_eva_vit(
+            state, cfg.vit, "visual_encoder.", vit_dtype or dtype),
+        "ln_vision": {"scale": jnp.asarray(state["ln_vision.weight"], dtype),
+                      "bias": jnp.asarray(state["ln_vision.bias"], dtype)},
+        "query_tokens": jnp.asarray(state["query_tokens"], dtype),
+        "qformer": convert_qformer(state, cfg.qformer, "Qformer.bert.", dtype),
+        "t5_proj": {"kernel": jnp.asarray(state["t5_proj.weight"].T, dtype),
+                    "bias": jnp.asarray(state["t5_proj.bias"], dtype)},
+        "t5_model": convert_t5(t5_state, cfg.t5, t5_dtype or dtype),
+    }
+
+
+def remap_eva_clip_to_blip2(state: StateDict) -> StateDict:
+    """``visual.`` -> ``visual_encoder.`` cross-model key remap
+    (wanda_pruner.py:570-585)."""
+    return {re.sub(r"^visual\.", "visual_encoder.", k): v for k, v in state.items()}
