@@ -185,11 +185,13 @@ def block_forward(
     return x + hh, stats
 
 
-def _prepare_cache(cfg: LlamaConfig, attn_mask: jax.Array, seq_len: int):
+def _prepare_cache(cfg: LlamaConfig, attn_mask: Optional[jax.Array], seq_len: int):
+    """attn_mask None => pure causal (keeps the bias (1,1,S,S), not (B,1,S,S)
+    — matters for 2048-token calibration batches)."""
     causal = jnp.where(
         jnp.tril(jnp.ones((seq_len, seq_len), jnp.bool_)), 0.0, -1e9
     )[None, None]
-    bias = causal + mask_bias(attn_mask)
+    bias = causal if attn_mask is None else causal + mask_bias(attn_mask)
     cos, sin = rope_cos_sin(cfg, seq_len)
     return bias, cos, sin
 
@@ -201,8 +203,6 @@ def forward(
     attn_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """(B, S) ids -> (B, S, V) float32 logits via one scanned block program."""
-    if attn_mask is None:
-        attn_mask = jnp.ones_like(input_ids)
     x = params["embed_tokens"][input_ids]
     cache = _prepare_cache(cfg, attn_mask, x.shape[1])
 
@@ -222,11 +222,13 @@ def per_sample_loss(
     attn_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """(B,) next-token CE, mean over valid target positions."""
-    if attn_mask is None:
-        attn_mask = jnp.ones_like(input_ids)
     logits = forward(cfg, params, input_ids, attn_mask)
     targets = input_ids[:, 1:]
-    valid = attn_mask[:, 1:] > 0
+    valid = (
+        jnp.ones_like(targets, jnp.bool_)
+        if attn_mask is None
+        else attn_mask[:, 1:] > 0
+    )
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     ce = jnp.where(valid, ce, 0.0)
@@ -258,11 +260,8 @@ def make_stack(cfg: LlamaConfig, name: str = "model.layers"):
 
     def prepare_inputs(params, batch):
         ids = batch["input_ids"]
-        mask = batch.get("attn_mask")
-        if mask is None:
-            mask = jnp.ones_like(ids)
         x = params["embed_tokens"][ids]
-        return x, _prepare_cache(cfg, mask, x.shape[1])
+        return x, _prepare_cache(cfg, batch.get("attn_mask"), x.shape[1])
 
     def _fwd(bp, x, cache, collect=None):
         return block_forward(cfg, bp, x, cache, collect)

@@ -22,7 +22,7 @@ pruning so downstream blocks calibrate against the pruned upstream
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,52 @@ def _num_sequences(x: jax.Array) -> int:
     return x.shape[0]
 
 
+def chunked_block_apply(
+    block_forward: Callable,
+    bp: PyTree,
+    x: jax.Array,
+    cache: Any,
+    collect: Optional[str],
+    num_chunks: int,
+):
+    """Run one block over the calibration batch in ``num_chunks`` sequential
+    chunks (lax.scan), summing activation statistics across chunks.
+
+    Keeps the live activation set at single-chunk scale — the full-batch
+    attention scores of a 257-token ViT at 128 samples alone are ~5 GB f32,
+    which OOMs a 16 GB chip next to 8 GB of bf16 params. Cache leaves whose
+    leading dim equals the batch are chunked; shared leaves (position biases)
+    broadcast."""
+    if num_chunks <= 1:
+        return block_forward(bp, x, cache, collect=collect)
+    b = x.shape[0]
+    assert b % num_chunks == 0, (b, num_chunks)
+    xc = x.reshape(num_chunks, b // num_chunks, *x.shape[1:])
+
+    def sel(a, i):
+        if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == b:
+            return a.reshape(num_chunks, b // num_chunks, *a.shape[1:])[i]
+        return a
+
+    cache0 = jax.tree_util.tree_map(lambda a: sel(a, 0), cache)
+    _, stats_shapes = jax.eval_shape(
+        lambda bp_, x_, c_: block_forward(bp_, x_, c_, collect=collect),
+        bp, xc[0], cache0,
+    )
+    init_stats = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), stats_shapes
+    )
+
+    def body(stats_acc, i):
+        mb_cache = jax.tree_util.tree_map(lambda a: sel(a, i), cache)
+        y, stats = block_forward(bp, xc[i], mb_cache, collect=collect)
+        stats_acc = jax.tree_util.tree_map(jnp.add, stats_acc, stats)
+        return stats_acc, y
+
+    stats, ys = jax.lax.scan(body, init_stats, jnp.arange(num_chunks))
+    return ys.reshape(b, *ys.shape[2:]), stats
+
+
 def prune_stack_wanda(
     stack: StackSpec,
     params: PyTree,
@@ -51,14 +97,23 @@ def prune_stack_wanda(
     sparsity_ratio: Mapping[str, float],
     prune_n: int = 0,
     prune_m: int = 0,
+    num_chunks: int = 1,
     verbose: bool = True,
 ) -> PyTree:
     """Wanda-prune one stack, streaming calibration activations once."""
     prep = jax.jit(stack.prepare_inputs)
     fwd_collect = jax.jit(
-        functools.partial(stack.block_forward, collect="wanda")
+        functools.partial(
+            chunked_block_apply, stack.block_forward,
+            collect="wanda", num_chunks=num_chunks,
+        )
     )
-    fwd = jax.jit(functools.partial(stack.block_forward, collect=None))
+    fwd = jax.jit(
+        functools.partial(
+            chunked_block_apply, stack.block_forward,
+            collect=None, num_chunks=num_chunks,
+        )
+    )
 
     @functools.partial(jax.jit, static_argnames=("per_row",))
     def prune_one(w, col_sq_sum, n_seq, ratio, per_row):
@@ -101,14 +156,23 @@ def prune_stack_sparsegpt(
     percdamp: float = 0.01,
     prune_n: int = 0,
     prune_m: int = 0,
+    num_chunks: int = 1,
     verbose: bool = True,
 ) -> PyTree:
     """SparseGPT-prune one stack (Hessian per linear, OBS column sweep)."""
     prep = jax.jit(stack.prepare_inputs)
     fwd_collect = jax.jit(
-        functools.partial(stack.block_forward, collect="hessian")
+        functools.partial(
+            chunked_block_apply, stack.block_forward,
+            collect="hessian", num_chunks=num_chunks,
+        )
     )
-    fwd = jax.jit(functools.partial(stack.block_forward, collect=None))
+    fwd = jax.jit(
+        functools.partial(
+            chunked_block_apply, stack.block_forward,
+            collect=None, num_chunks=num_chunks,
+        )
+    )
 
     x, cache = prep(params, batch)
     n_seq = float(_num_sequences(x))

@@ -51,6 +51,24 @@ def _group_means(losses: jax.Array, num_groups: int) -> jax.Array:
     return losses.reshape(num_groups, -1).mean(axis=1)
 
 
+def make_chunked_loss(loss_fn: LossFn, num_chunks: int) -> LossFn:
+    """Evaluate the per-sample loss in ``num_chunks`` sequential chunks via
+    ``lax.map`` — same values, 1/num_chunks the activation memory. On a 16 GB
+    chip this is what lets a 4B-param BLIP-2 score 128 calibration samples:
+    the full-batch ViT attention alone needs ~5 GB of live activations."""
+    if num_chunks <= 1:
+        return loss_fn
+
+    def chunked(params, data):
+        chunks = jax.tree_util.tree_map(
+            lambda x: x.reshape(num_chunks, -1, *x.shape[1:]), data
+        )
+        losses = jax.lax.map(lambda mb: loss_fn(params, mb), chunks)
+        return losses.reshape(-1)
+
+    return chunked
+
+
 def mezo_leaf_scores(
     loss_fn: LossFn,
     params: PyTree,
@@ -79,7 +97,11 @@ def mezo_leaf_scores(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    loss_jit = jax.jit(loss_fn)
+    # shared mode streams all microbatches through one call; chunk the
+    # evaluation so activation memory stays at single-microbatch scale
+    loss_jit = jax.jit(
+        make_chunked_loss(loss_fn, num_microbatches if noise_mode == "shared" else 1)
+    )
 
     def sample_z(k, shape, dtype):
         return (jax.random.normal(k, shape, jnp.float32) * eps).astype(dtype)

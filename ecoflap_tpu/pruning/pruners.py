@@ -152,6 +152,7 @@ class TwoStagePruner:
                 ratios,
                 prune_n=self.prune_n,
                 prune_m=self.prune_m,
+                num_chunks=self.num_microbatches,
                 verbose=self.verbose,
             )
         if self.local_method == "sparsegpt":
@@ -162,6 +163,7 @@ class TwoStagePruner:
                 ratios,
                 prune_n=self.prune_n,
                 prune_m=self.prune_m,
+                num_chunks=self.num_microbatches,
                 verbose=self.verbose,
             )
         raise ValueError(self.local_method)

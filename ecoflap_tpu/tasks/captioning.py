@@ -1,0 +1,147 @@
+"""Captioning metrics — CIDEr-D and BLEU-4, pure Python.
+
+The reference scores captions with pycocoevalcap against Karpathy ground
+truth and reports ``agg_metrics = CIDEr + Bleu_4``
+(LAVIS/lavis/tasks/captioning.py:83-142). These are the standard published
+formulas (CIDEr-D: Vedantam et al. 2015; BLEU: Papineni et al. 2002),
+reimplemented here without the pycocoevalcap dependency:
+
+* CIDEr-D: n-gram (1..4) TF-IDF vectors, per-n cosine similarity clipped by
+  candidate counts, Gaussian length penalty exp(-(lc-lr)^2/(2·6^2)), ×10
+  scale, averaged over references and n.
+* BLEU-4: corpus-level modified n-gram precision with brevity penalty
+  (closest-reference length).
+
+Tokenization: lowercase + punctuation strip (the PTBTokenizer effect on
+typical captions).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from typing import Dict, Iterable, List, Sequence
+
+from ecoflap_tpu.core.registry import registry
+
+_PUNCT = re.compile(r"[^\w\s]")
+
+
+def tokenize(text: str) -> List[str]:
+    return _PUNCT.sub("", text.lower()).split()
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
+
+
+def cider_d(
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+    max_n: int = 4,
+    sigma: float = 6.0,
+) -> float:
+    """Corpus CIDEr-D (0-10 scale)."""
+    assert len(candidates) == len(references)
+    cand_toks = [tokenize(c) for c in candidates]
+    ref_toks = [[tokenize(r) for r in refs] for refs in references]
+
+    # document frequency over reference sets
+    df: List[Dict] = [defaultdict(float) for _ in range(max_n)]
+    for refs in ref_toks:
+        for n in range(max_n):
+            seen = set()
+            for r in refs:
+                seen |= set(_ngrams(r, n + 1).keys())
+            for g in seen:
+                df[n][g] += 1.0
+    log_num_imgs = math.log(max(len(references), 1))
+
+    def tfidf(counts: Counter, n: int):
+        vec = {}
+        norm = 0.0
+        length = sum(counts.values())
+        for g, c in counts.items():
+            idf = log_num_imgs - math.log(max(df[n][g], 1.0))
+            v = (c / max(length, 1)) * idf if length > 0 else 0.0
+            vec[g] = v
+            norm += v * v
+        return vec, math.sqrt(norm)
+
+    scores = []
+    for cand, refs in zip(cand_toks, ref_toks):
+        score_n = [0.0] * max_n
+        for n in range(max_n):
+            c_counts = _ngrams(cand, n + 1)
+            c_vec, c_norm = tfidf(c_counts, n)
+            for ref in refs:
+                r_counts = _ngrams(ref, n + 1)
+                r_vec, r_norm = tfidf(r_counts, n)
+                # CIDEr-D: clip candidate counts by reference counts
+                num = 0.0
+                for g, v in c_vec.items():
+                    num += min(v, r_vec.get(g, 0.0)) * r_vec.get(g, 0.0)
+                denom = c_norm * r_norm
+                sim = num / denom if denom > 0 else 0.0
+                delta = len(cand) - len(ref)
+                sim *= math.exp(-(delta**2) / (2 * sigma**2))
+                score_n[n] += sim
+            score_n[n] /= max(len(refs), 1)
+        scores.append(10.0 * sum(score_n) / max_n)
+    return sum(scores) / max(len(scores), 1)
+
+
+def bleu4(
+    candidates: Sequence[str], references: Sequence[Sequence[str]]
+) -> float:
+    """Corpus BLEU-4 with brevity penalty."""
+    p_num = [0] * 4
+    p_den = [0] * 4
+    cand_len = ref_len = 0
+    for cand, refs in zip(candidates, references):
+        c = tokenize(cand)
+        rs = [tokenize(r) for r in refs]
+        cand_len += len(c)
+        ref_len += min((abs(len(r) - len(c)), len(r)) for r in rs)[1]
+        for n in range(4):
+            c_ngrams = _ngrams(c, n + 1)
+            max_ref = Counter()
+            for r in rs:
+                for g, cnt in _ngrams(r, n + 1).items():
+                    max_ref[g] = max(max_ref[g], cnt)
+            p_num[n] += sum(min(cnt, max_ref.get(g, 0)) for g, cnt in c_ngrams.items())
+            p_den[n] += max(sum(c_ngrams.values()), 0)
+    if any(d == 0 for d in p_den) or any(n == 0 for n in p_num):
+        # smooth: treat zero counts as tiny to avoid log(0) on tiny corpora
+        precisions = [max(n, 1e-9) / max(d, 1) for n, d in zip(p_num, p_den)]
+    else:
+        precisions = [n / d for n, d in zip(p_num, p_den)]
+    bp = 1.0 if cand_len > ref_len else math.exp(1 - ref_len / max(cand_len, 1))
+    return bp * math.exp(sum(math.log(p) for p in precisions) / 4)
+
+
+def score_captions(
+    results: Iterable[Dict],
+) -> Dict[str, float]:
+    """results: [{"caption": str, "gt_captions": [str]}] ->
+    {Bleu_4, CIDEr, agg_metrics} (captioning.py:128-142 convention)."""
+    cands = [r["caption"] for r in results]
+    refs = [r["gt_captions"] for r in results]
+    b4 = bleu4(cands, refs)
+    cd = cider_d(cands, refs)
+    return {"Bleu_4": b4, "CIDEr": cd, "agg_metrics": cd + b4}
+
+
+@registry.register("task", "captioning")
+class CaptionTask:
+    def __init__(self, generate_fn=None):
+        self.generate_fn = generate_fn
+
+    def evaluation(self, batches) -> Dict[str, float]:
+        results = []
+        for batch in batches:
+            captions = self.generate_fn(batch)
+            for cap, gts in zip(captions, batch["gt_captions"]):
+                results.append({"caption": cap, "gt_captions": gts})
+        return score_captions(results)
