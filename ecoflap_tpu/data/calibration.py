@@ -1,0 +1,206 @@
+"""Calibration data plumbing: prefix/suffix splits, tokenization, fixed-shape
+batch assembly.
+
+Reference semantics:
+* CC3M-style caption split — random CHARACTER split point in
+  ``[1, len(caption)//2]``; prefix becomes text_input, remainder text_output
+  (prefix_language_pretraining.py:47-55).
+* C4 text split — identical on raw text (c4_dataset.py:24-64).
+* Count-limited calibration loader — the runner wraps the test split in a
+  ``DataLoaderWrapper`` that yields exactly ``num_data`` samples
+  (runner_base.py:645-693). Here calibration is one STACKED pytree batch of
+  ``num_data`` samples (leading dim = microbatches x batch_size), which is
+  what the MeZO/engine paths consume directly.
+
+Tokenization: HF tokenizers when a local cache exists (zero-egress image —
+``from_pretrained`` works only if cached); otherwise ``HashTokenizer``, a
+deterministic hashing tokenizer with the same interface, good enough for
+synthetic calibration and tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def split_prefix_suffix(text: str, rng: np.random.Generator):
+    """Random character split (prefix_language_pretraining.py:47-55)."""
+    hi = max(len(text) // 2, 1)
+    split = int(rng.integers(1, hi + 1))
+    return text[:split], text[split:]
+
+
+class HashTokenizer:
+    """Deterministic whitespace+hash tokenizer with an HF-like interface.
+
+    ids: 0=pad, 1=eos, 2..vocab-1 hashed word ids. Not a real BPE — a
+    stand-in so every pipeline runs without downloaded vocab files.
+    """
+
+    def __init__(self, vocab_size: int = 32128, eos_token_id: int = 1,
+                 pad_token_id: int = 0):
+        self.vocab_size = vocab_size
+        self.eos_token_id = eos_token_id
+        self.pad_token_id = pad_token_id
+
+    def _word_id(self, w: str) -> int:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        return 2 + h % (self.vocab_size - 2)
+
+    def encode(self, text: str, max_length: int, add_eos: bool = True):
+        ids = [self._word_id(w) for w in text.split()][: max_length - int(add_eos)]
+        if add_eos:
+            ids.append(self.eos_token_id)
+        mask = [1] * len(ids)
+        pad = max_length - len(ids)
+        return ids + [self.pad_token_id] * pad, mask + [0] * pad
+
+    def __call__(self, texts: Sequence[str], max_length: int = 32,
+                 add_eos: bool = True):
+        out_ids, out_mask = [], []
+        for t in texts:
+            ids, mask = self.encode(t, max_length, add_eos)
+            out_ids.append(ids)
+            out_mask.append(mask)
+        return (np.asarray(out_ids, np.int32), np.asarray(out_mask, np.int32))
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return " ".join(f"<{i}>" for i in ids
+                        if i not in (self.pad_token_id, self.eos_token_id))
+
+
+def load_t5_tokenizer(name: str = "google/flan-t5-xl",
+                      vocab_size: int = 32128):
+    """HF T5 tokenizer if cached locally, else HashTokenizer fallback."""
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
+
+        class _Wrap:
+            eos_token_id = tok.eos_token_id
+            pad_token_id = tok.pad_token_id
+            vocab_size = tok.vocab_size
+
+            def __call__(self, texts, max_length=32, add_eos=True):
+                enc = tok(list(texts), padding="max_length", truncation=True,
+                          max_length=max_length, return_tensors="np")
+                return (enc["input_ids"].astype(np.int32),
+                        enc["attention_mask"].astype(np.int32))
+
+            def decode(self, ids):
+                return tok.decode([i for i in ids if i != tok.pad_token_id],
+                                  skip_special_tokens=True)
+
+        return _Wrap()
+    except Exception:
+        return HashTokenizer(vocab_size=vocab_size)
+
+
+@dataclass
+class CalibrationSpec:
+    num_samples: int = 128
+    batch_size: int = 8
+    text_input_len: int = 32
+    text_output_len: int = 32
+
+    @property
+    def num_microbatches(self) -> int:
+        return max(1, self.num_samples // self.batch_size)
+
+
+def build_vl_calibration_batch(
+    samples: Iterable[Dict[str, Any]],
+    tokenizer,
+    spec: CalibrationSpec,
+    seed: int = 0,
+    image_key: str = "image",
+) -> Dict[str, jnp.ndarray]:
+    """[{image: (H,W,3) float array, caption: str}] -> stacked BLIP-2
+    calibration batch {image, text_input_ids, text_input_mask, labels}.
+
+    labels use -100 padding so the T5 CE ignores pad positions
+    (blip2_t5.py:152-154)."""
+    rng = np.random.default_rng(seed)
+    images, prefixes, suffixes = [], [], []
+    for s in samples:
+        if len(images) >= spec.num_samples:
+            break
+        pre, suf = split_prefix_suffix(s["caption"], rng)
+        images.append(np.asarray(s[image_key]))
+        prefixes.append(pre)
+        suffixes.append(suf if suf.strip() else pre)
+    n = len(images)
+    assert n > 0, "no calibration samples"
+    in_ids, in_mask = tokenizer(prefixes, max_length=spec.text_input_len)
+    out_ids, out_mask = tokenizer(suffixes, max_length=spec.text_output_len)
+    labels = np.where(out_mask > 0, out_ids, -100)
+    return {
+        "image": jnp.asarray(np.stack(images)),
+        "text_input_ids": jnp.asarray(in_ids),
+        "text_input_mask": jnp.asarray(in_mask),
+        "labels": jnp.asarray(labels, jnp.int32),
+    }
+
+
+def build_text_calibration_batch(
+    texts: Iterable[str],
+    tokenizer,
+    spec: CalibrationSpec,
+    seed: int = 0,
+) -> Dict[str, jnp.ndarray]:
+    """C4-style prefix-LM batch for the standalone T5 path
+    (c4_dataset.py:24-64): {input_ids, attn_mask, labels}."""
+    rng = np.random.default_rng(seed)
+    prefixes, suffixes = [], []
+    for t in texts:
+        if len(prefixes) >= spec.num_samples:
+            break
+        pre, suf = split_prefix_suffix(t, rng)
+        prefixes.append(pre)
+        suffixes.append(suf if suf.strip() else pre)
+    in_ids, in_mask = tokenizer(prefixes, max_length=spec.text_input_len)
+    out_ids, out_mask = tokenizer(suffixes, max_length=spec.text_output_len)
+    labels = np.where(out_mask > 0, out_ids, -100)
+    return {
+        "input_ids": jnp.asarray(in_ids),
+        "attn_mask": jnp.asarray(in_mask),
+        "labels": jnp.asarray(labels, jnp.int32),
+    }
+
+
+def build_lm_calibration_batch(
+    token_stream: np.ndarray,
+    num_samples: int,
+    seqlen: int,
+    seed: int = 0,
+) -> Dict[str, jnp.ndarray]:
+    """Wanda-style C4 LM calibration: random seqlen windows from one token
+    stream (wanda lib/data.py semantics, LLaMA/main.py:27)."""
+    rng = np.random.default_rng(seed)
+    n = token_stream.shape[0]
+    starts = rng.integers(0, max(n - seqlen, 1), size=num_samples)
+    windows = np.stack([token_stream[s : s + seqlen] for s in starts])
+    return {"input_ids": jnp.asarray(windows, jnp.int32)}
+
+
+def synthetic_vl_samples(
+    n: int, img_size: int, seed: int = 0, words: int = 12
+) -> List[Dict[str, Any]]:
+    """Random images + captions for smoke/bench runs."""
+    rng = np.random.default_rng(seed)
+    vocab = ["dog", "cat", "tree", "house", "red", "blue", "runs", "sits",
+             "park", "sky", "ball", "girl", "boy", "water", "bird"]
+    out = []
+    for i in range(n):
+        cap = " ".join(rng.choice(vocab, size=words))
+        out.append({
+            "image": rng.normal(size=(img_size, img_size, 3)).astype(np.float32),
+            "caption": cap,
+        })
+    return out
