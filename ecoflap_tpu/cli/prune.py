@@ -1,0 +1,255 @@
+"""Unified prune CLI — the rebuild of the reference's evaluate_{blip,t5,
+eva_clip}.py / LLaMA main.py / CoOp train.py pruning entry points
+(SURVEY.md §2.7), one argparse surface:
+
+  python -m ecoflap_tpu.cli.prune \
+      --model blip2_t5 --pruning_method blipt5_wanda_pruner \
+      --prune_spec 24-0.5-1.0-1.0 --vit_prune_spec 39-0.5-1.0-1.0 \
+      --sparsity_ratio_granularity block --score_method MEZO-GradOnly_sum \
+      --max_sparsity_per_layer 0.6 --num_data_first_stage 128 \
+      --calib synthetic --save_pruned
+
+Flag names follow the reference CLIs (evaluate_blip.py:37-284,
+LLaMA/main.py:14-60) so reference launch scripts port line-for-line. Without
+``--ckpt`` the model is randomly initialized at ``--model_scale`` (tiny for
+smoke runs, full for real shapes) — real checkpoints arrive via torch .pth
+(utils/checkpoint.py converters).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ECoFLaP-TPU pruning")
+    p.add_argument("--model", required=True,
+                   choices=["blip2_t5", "t5", "eva_clip", "clip", "llama"])
+    p.add_argument("--model_scale", default="tiny",
+                   choices=["tiny", "small", "full"])
+    p.add_argument("--ckpt", default=None, help="torch .pth checkpoint")
+    p.add_argument("--pruning_method", default="blipt5_wanda_pruner")
+    # prune specs (keep-ratio encoding, base_pruner.py:75-81)
+    p.add_argument("--prune_spec", default=None)
+    p.add_argument("--t5_prune_spec", default=None)
+    p.add_argument("--vit_prune_spec", default=None)
+    # coarse stage
+    p.add_argument("--sparsity_ratio_granularity", default=None,
+                   choices=[None, "layer", "block", "model"])
+    p.add_argument("--max_sparsity_per_layer", type=float, default=0.8)
+    p.add_argument("--score_method", default="MEZO-GradOnly_sum")
+    p.add_argument("--num_data_first_stage", type=int, default=128)
+    p.add_argument("--num_noise", type=int, default=1)
+    p.add_argument("--noise_eps", type=float, default=1e-3)
+    p.add_argument("--sparsity_dict", default=None)
+    p.add_argument("--prune_per_model", action="store_true")
+    p.add_argument("--prune_n", type=int, default=0)
+    p.add_argument("--prune_m", type=int, default=0)
+    # global-pruner baselines
+    p.add_argument("--is_global", action="store_true")
+    p.add_argument("--iteration", type=int, default=1)
+    # calibration
+    p.add_argument("--calib", default="synthetic",
+                   help="synthetic | path to annotation json / jsonl")
+    p.add_argument("--num_samples", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--seqlen", type=int, default=2048)  # LLaMA (main.py:27)
+    # output
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--job_id", default=None)
+    p.add_argument("--save_pruned", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="force a JAX backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; this flag uses jax.config, which it "
+                        "honors)")
+    p.add_argument("--options", nargs="*", default=None)
+    return p
+
+
+def _configs(args):
+    """(cfg, params, adapter_fn, batch) per model family."""
+    from ecoflap_tpu.data import calibration as cal
+
+    scale = args.model_scale
+    key = jax.random.PRNGKey(args.seed)
+    dtype = jnp.bfloat16 if scale == "full" else jnp.float32
+
+    if args.model == "blip2_t5":
+        from ecoflap_tpu.models import blip2
+        from ecoflap_tpu.utils import checkpoint as ck
+
+        cfg = blip2.blip2_flant5xl() if scale == "full" else blip2.tiny_config()
+        if args.ckpt:
+            params = ck.convert_blip2(ck.load_torch_checkpoint(args.ckpt), cfg,
+                                      dtype=dtype)
+        else:
+            params = blip2.init_params(cfg, key, dtype=dtype)
+        tok = cal.load_t5_tokenizer(vocab_size=cfg.t5.vocab_size)
+        spec = cal.CalibrationSpec(args.num_samples, args.batch_size)
+        samples = cal.synthetic_vl_samples(args.num_samples, cfg.vit.img_size,
+                                           args.seed)
+        batch = cal.build_vl_calibration_batch(samples, tok, spec, args.seed)
+        if scale != "full":
+            batch = {**batch,
+                     "text_input_ids": batch["text_input_ids"] % cfg.t5.vocab_size,
+                     "labels": jnp.where(batch["labels"] == -100, -100,
+                                          batch["labels"] % cfg.t5.vocab_size)}
+        adapter = blip2.make_adapter(cfg, params)
+        stack_specs = {}
+        if args.vit_prune_spec:
+            stack_specs["visual_encoder.blocks"] = args.vit_prune_spec
+        t5_spec = args.t5_prune_spec or args.prune_spec
+        if t5_spec:
+            stack_specs["t5_model.encoder.block"] = t5_spec
+            stack_specs["t5_model.decoder.block"] = t5_spec
+        return adapter, batch, spec.num_microbatches, stack_specs
+
+    if args.model == "t5":
+        from ecoflap_tpu.models import t5 as t5_mod
+        from ecoflap_tpu.utils import checkpoint as ck
+
+        cfg = t5_mod.flan_t5_xl() if scale == "full" else t5_mod.tiny_config()
+        if args.ckpt:
+            params = ck.convert_t5(ck.load_torch_checkpoint(args.ckpt), cfg, dtype)
+        else:
+            params = t5_mod.init_params(cfg, key, dtype=dtype)
+        tok = cal.load_t5_tokenizer(vocab_size=cfg.t5.vocab_size if hasattr(cfg, "t5") else cfg.vocab_size)
+        spec = cal.CalibrationSpec(args.num_samples, args.batch_size)
+        texts = [" ".join(np.random.default_rng(args.seed + i)
+                          .choice(["the", "a", "dog", "cat", "run"], 20))
+                 for i in range(args.num_samples)]
+        batch = cal.build_text_calibration_batch(texts, tok, spec, args.seed)
+        if scale != "full":
+            batch = {**batch,
+                     "input_ids": batch["input_ids"] % cfg.vocab_size,
+                     "labels": jnp.where(batch["labels"] == -100, -100,
+                                          batch["labels"] % cfg.vocab_size)}
+        adapter = t5_mod.make_adapter(cfg, params)
+        stack_specs = {}
+        if args.prune_spec:
+            stack_specs["encoder.block"] = args.prune_spec
+            stack_specs["decoder.block"] = args.prune_spec
+        return adapter, batch, spec.num_microbatches, stack_specs
+
+    if args.model in ("eva_clip", "clip"):
+        from ecoflap_tpu.models import clip as clip_mod
+
+        eva = args.model == "eva_clip"
+        cfg = (clip_mod.eva_clip_g() if eva else clip_mod.vit_b16()) \
+            if scale == "full" else clip_mod.tiny_config(eva=eva)
+        params = clip_mod.init_params(cfg, key, dtype)
+        rng = np.random.default_rng(args.seed)
+        img = (cfg.eva_visual.img_size if cfg.eva_visual else cfg.visual.img_size)
+        n = args.num_samples
+        ids = rng.integers(1, cfg.text.vocab_size,
+                           size=(n, cfg.text.context_length))
+        ids[:, -1] = cfg.text.vocab_size - 1
+        batch = {
+            "image": jnp.asarray(rng.normal(size=(n, img, img, 3)), dtype),
+            "text_ids": jnp.asarray(ids, jnp.int32),
+            "label": jnp.asarray(rng.integers(0, 10, size=(n,)), jnp.int32),
+        }
+        adapter = clip_mod.make_adapter(cfg, params, include_text=not eva)
+        stack_specs = {}
+        if args.prune_spec:
+            for s in adapter.stacks:
+                stack_specs[s.name] = args.prune_spec
+        return adapter, batch, max(1, n // args.batch_size), stack_specs
+
+    if args.model == "llama":
+        from ecoflap_tpu.models import llama
+        from ecoflap_tpu.utils import checkpoint as ck
+        from ecoflap_tpu.data import calibration as cal2
+
+        cfg = llama.llama_7b() if scale == "full" else llama.tiny_config()
+        if args.ckpt:
+            params = ck.convert_llama(ck.load_torch_checkpoint(args.ckpt), cfg,
+                                      dtype)
+        else:
+            params = llama.init_params(cfg, key, dtype=dtype)
+        rng = np.random.default_rng(args.seed)
+        seqlen = args.seqlen if scale == "full" else 32
+        stream = rng.integers(2, cfg.vocab_size, size=(args.num_samples * seqlen + seqlen,))
+        batch = cal2.build_lm_calibration_batch(
+            np.asarray(stream), args.num_samples, seqlen, args.seed)
+        adapter = llama.make_adapter(cfg, params)
+        stack_specs = {"model.layers": args.prune_spec} if args.prune_spec else {}
+        return adapter, batch, max(1, args.num_samples // args.batch_size), stack_specs
+
+    raise ValueError(args.model)
+
+
+def main(argv=None) -> Dict[str, Any]:
+    from ecoflap_tpu.pruning.loader import load_pruner
+    from ecoflap_tpu.runners.runner import Runner, global_sparsity
+
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    job_id = args.job_id or (
+        f"{args.pruning_method}_{args.prune_spec or 'none'}"
+        f"_{args.score_method}_{args.sparsity_ratio_granularity}"
+    )
+    runner = Runner(args.output_dir, job_id)
+
+    adapter, batch, num_mb, stack_specs = _configs(args)
+
+    pruner_cfg = dict(
+        stack_specs=stack_specs or None,
+        prune_spec=args.prune_spec,
+        sparsity_ratio_granularity=args.sparsity_ratio_granularity,
+        max_sparsity_per_layer=args.max_sparsity_per_layer,
+        score_method=args.score_method,
+        num_data_first_stage=args.num_data_first_stage,
+        num_noise=args.num_noise,
+        noise_eps=args.noise_eps,
+        sparsity_dict=args.sparsity_dict,
+        prune_per_model=args.prune_per_model,
+        prune_n=args.prune_n,
+        prune_m=args.prune_m,
+        key=jax.random.PRNGKey(args.seed),
+    )
+    if args.is_global:
+        pruner_cfg = dict(
+            stack_specs=stack_specs or None, prune_spec=args.prune_spec,
+            is_global=True, iteration=args.iteration,
+            num_noise=args.num_noise, noise_eps=args.noise_eps,
+            key=jax.random.PRNGKey(args.seed),
+        )
+
+    t0 = time.time()
+    pruner = load_pruner(args.pruning_method, adapter, batch, num_mb, pruner_cfg)
+    params, sparsity_dict = pruner.prune()
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+    wall = time.time() - t0
+
+    sd_path = runner.save_sparsity_dict(sparsity_dict)
+    stats_path = runner.save_training_statistics(wall)
+    sparsity = global_sparsity(
+        {s.name: [s.weight_get(s.get_block(params, i), ln)
+                  for ln in s.linear_names]
+         for s in adapter.stacks for i in range(s.num_blocks)}
+    )
+    result = {
+        "job_id": job_id,
+        "wall_clock_s": round(wall, 1),
+        "prunable_sparsity": round(sparsity, 4),
+        "sparsity_dict": sd_path,
+        "stats": stats_path,
+    }
+    if args.save_pruned:
+        result["checkpoint"] = runner.save_checkpoint(params, f"pruned_{job_id}")
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

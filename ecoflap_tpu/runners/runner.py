@@ -1,0 +1,122 @@
+"""Runner — evaluation loops, pruning-artifact IO, checkpoint save/resume.
+
+Rebuild of ``RunnerBase`` (LAVIS/lavis/runners/runner_base.py) minus the DDP
+plumbing (the mesh runtime replaces it, parallel/mesh.py):
+
+* ``evaluate`` — batches through a task's evaluation (runner_base.py:419-428).
+* ``get_calibration_batch`` — the count-limited importance loader
+  (:645-693), returning ONE stacked pytree batch.
+* pruning artifacts — sparsity dict YAML + pruned checkpoint + stats YAML
+  (wall-clock / peak memory), mirroring evaluate_blip.py:438-472's
+  ``sparsity_dict/``, ``pruned_checkpoint/``, ``training_statistics/``.
+* checkpoints — orbax for pytrees (resume), torch-format .pth export for
+  cross-tool parity (utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+import yaml
+
+PyTree = Any
+
+
+class Runner:
+    def __init__(self, output_dir: str = "output", job_id: str = "job"):
+        self.output_dir = output_dir
+        self.job_id = job_id
+        os.makedirs(output_dir, exist_ok=True)
+
+    # -- evaluation --------------------------------------------------------
+
+    def evaluate(self, task, data) -> Dict[str, float]:
+        t0 = time.time()
+        metrics = task.evaluation(data)
+        metrics["eval_time_s"] = round(time.time() - t0, 2)
+        self.log_metrics(metrics)
+        return metrics
+
+    def log_metrics(self, metrics: Dict[str, float], split: str = "val") -> None:
+        """Append JSON line to evaluate.txt (vqa.py:178-181 convention)."""
+        path = os.path.join(self.output_dir, "evaluate.txt")
+        with open(path, "a") as f:
+            f.write(json.dumps({split: metrics}) + "\n")
+
+    # -- pruning artifacts (evaluate_blip.py:438-472) -----------------------
+
+    def save_sparsity_dict(self, sparsity_dict: Optional[Dict[str, float]]) -> Optional[str]:
+        if sparsity_dict is None:
+            return None
+        d = os.path.join(self.output_dir, "sparsity_dict")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{self.job_id}.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump({k: float(v) for k, v in sparsity_dict.items()}, f)
+        return path
+
+    def save_training_statistics(self, wall_clock_s: float,
+                                 extra: Optional[Dict] = None) -> str:
+        d = os.path.join(self.output_dir, "training_statistics")
+        os.makedirs(d, exist_ok=True)
+        stats: Dict[str, Any] = {"spent_time": round(wall_clock_s, 1)}
+        try:
+            ms = jax.devices()[0].memory_stats()
+            if ms:
+                stats["max_memory_GiB"] = round(
+                    ms.get("peak_bytes_in_use", 0) / 2**30, 2)
+        except Exception:
+            pass
+        stats.update(extra or {})
+        path = os.path.join(d, f"{self.job_id}.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump(stats, f)
+        return path
+
+    # -- checkpoints --------------------------------------------------------
+
+    def save_checkpoint(self, params: PyTree, name: str = "checkpoint_best") -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.output_dir, name))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, params, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def load_checkpoint(self, template: PyTree, name: str = "checkpoint_best") -> PyTree:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.output_dir, name))
+        ckptr = ocp.StandardCheckpointer()
+        shapes = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template
+        )
+        return ckptr.restore(path, shapes)
+
+    def save_pruned_torch(self, state_dict: Dict[str, np.ndarray],
+                          name: Optional[str] = None) -> str:
+        """Reference-compatible .pth under pruned_checkpoint/."""
+        from ecoflap_tpu.utils.checkpoint import save_torch_checkpoint
+
+        d = os.path.join(self.output_dir, "pruned_checkpoint")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{name or self.job_id}.pth")
+        save_torch_checkpoint(state_dict, path)
+        return path
+
+
+def global_sparsity(params: PyTree) -> float:
+    """Σ(p==0)/Σnumel over all leaves (evaluate_blip.py:432-436)."""
+    import jax.numpy as jnp
+
+    zeros = total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        zeros += int(jnp.sum(leaf == 0))
+        total += int(leaf.size)
+    return zeros / max(total, 1)
