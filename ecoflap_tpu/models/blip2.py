@@ -30,7 +30,7 @@ from ecoflap_tpu.models import eva_vit, qformer
 from ecoflap_tpu.models import t5 as t5_mod
 from ecoflap_tpu.models.generation import GenerateConfig, t5_generate
 from ecoflap_tpu.models.layers import layer_norm
-from ecoflap_tpu.pruning.adapter import ModelAdapter
+from ecoflap_tpu.pruning.adapter import LossPlan, ModelAdapter
 
 PyTree = Any
 
@@ -187,6 +187,33 @@ def make_adapter(cfg: Blip2Config, params: PyTree) -> ModelAdapter:
     def loss_fn(p, batch):
         return per_sample_loss(cfg, p, batch)
 
+    def build_mezo_plans(p, batch):
+        """Fast path for T5-group perturbations: the ViT/Q-Former prefix is
+        untouched by any ``t5_model.*`` target, so its projected query
+        embeddings are computed ONCE and every T5 perturbation forward starts
+        from them. Roughly halves the zeroth-order stage for BLIP-2, where
+        the 39-block ViT-g dominates the forward cost (the reference re-runs
+        the full model per group, layer_single_base_pruner.py:507-536)."""
+        q = jax.jit(lambda pp, img: encode_image(cfg, pp, img))(p, batch["image"])
+        t5_data = {**batch, "query_t5": q}
+
+        def t5_loss(pp, b):
+            text_embeds = pp["t5_model"]["shared"][b["text_input_ids"]]
+            x = jnp.concatenate(
+                [b["query_t5"].astype(text_embeds.dtype), text_embeds], axis=1
+            )
+            q_mask = jnp.ones(b["query_t5"].shape[:2], b["text_input_mask"].dtype)
+            mask = jnp.concatenate([q_mask, b["text_input_mask"]], axis=1)
+            return t5_mod.per_sample_loss(
+                cfg.t5, pp["t5_model"], None, mask, b["labels"], enc_embeds=x
+            )
+
+        return [LossPlan(
+            match=lambda name: name.startswith("t5_model."),
+            loss_fn=t5_loss,
+            data=t5_data,
+        )]
+
     return ModelAdapter(
         name="blip2_t5",
         params=params,
@@ -197,4 +224,5 @@ def make_adapter(cfg: Blip2Config, params: PyTree) -> ModelAdapter:
             enc_stack.name: "t5_model",
             dec_stack.name: "t5_model",
         },
+        build_mezo_plans=build_mezo_plans,
     )

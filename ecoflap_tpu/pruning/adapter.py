@@ -64,6 +64,23 @@ class StackSpec:
 
 
 @dataclass
+class LossPlan:
+    """A specialized (loss_fn, data) pair for a subset of MeZO targets.
+
+    TPU-native optimization absent from the reference (which re-runs the FULL
+    model for every group perturbation, layer_single_base_pruner.py:507-536):
+    when a perturbation can only touch a suffix of the network, the frozen
+    prefix's activations are precomputed once and the plan's loss starts from
+    them — e.g. BLIP-2's T5-block groups reuse cached query embeddings,
+    skipping the (dominant) ViT+Q-Former forward entirely.
+    """
+
+    match: Callable[[str], bool]  # target.name -> does this plan apply?
+    loss_fn: Callable[[PyTree, Any], jax.Array]
+    data: Any
+
+
+@dataclass
 class ModelAdapter:
     """Everything the pruning core needs to know about one model family."""
 
@@ -75,6 +92,8 @@ class ModelAdapter:
     # submodel prefix per stack, for prune_per_model grouping; e.g.
     # {"visual_encoder.blocks": "visual_encoder"}
     model_prefixes: Dict[str, str] = field(default_factory=dict)
+    # optional (params, data) -> List[LossPlan] for MeZO fast paths
+    build_mezo_plans: Optional[Callable[[PyTree, Any], List["LossPlan"]]] = None
 
     def targets(self) -> List[WeightTarget]:
         """All prunable weights as functional views, reference-named."""

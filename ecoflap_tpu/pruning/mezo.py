@@ -79,6 +79,7 @@ def mezo_leaf_scores(
     num_noise: int = 1,
     key: Optional[jax.Array] = None,
     noise_mode: str = "shared",
+    loss_plans: Optional[Sequence[Any]] = None,
     progress: Optional[Callable[[int, str], None]] = None,
 ) -> Dict[str, jax.Array]:
     """Scalar |projected-gradient| score per target.
@@ -91,6 +92,9 @@ def mezo_leaf_scores(
       eps: perturbation scale (noise_eps, default 1e-3).
       num_noise: draws per (tensor, batch) (num_noise, default 1).
       noise_mode: "shared" (fast) or "per_batch" (reference sampling parity).
+      loss_plans: optional LossPlan list (adapter fast paths); the first plan
+        whose ``match(target.name)`` hits supplies (loss_fn, data) for that
+        target, skipping recomputation of unperturbed prefixes.
 
     Returns {target.name: scalar f32 score}.
     """
@@ -99,9 +103,18 @@ def mezo_leaf_scores(
 
     # shared mode streams all microbatches through one call; chunk the
     # evaluation so activation memory stays at single-microbatch scale
-    loss_jit = jax.jit(
-        make_chunked_loss(loss_fn, num_microbatches if noise_mode == "shared" else 1)
-    )
+    chunks = num_microbatches if noise_mode == "shared" else 1
+    default_pair = (jax.jit(make_chunked_loss(loss_fn, chunks)), data)
+    plan_pairs = [
+        (p, jax.jit(make_chunked_loss(p.loss_fn, chunks)), p.data)
+        for p in (loss_plans or [])
+    ]
+
+    def pair_for(name: str):
+        for p, fn, d in plan_pairs:
+            if p.match(name):
+                return fn, d
+        return default_pair
 
     def sample_z(k, shape, dtype):
         return (jax.random.normal(k, shape, jnp.float32) * eps).astype(dtype)
@@ -110,6 +123,7 @@ def mezo_leaf_scores(
     for ti, t in enumerate(targets):
         if progress is not None:
             progress(ti, t.name)
+        loss_jit, tdata = pair_for(t.name)
         tkey = jax.random.fold_in(key, ti)
         shape = t.shape(params)
         dtype = t.dtype(params)
@@ -118,8 +132,8 @@ def mezo_leaf_scores(
         if noise_mode == "shared":
             for n in range(num_noise):
                 z = sample_z(jax.random.fold_in(tkey, n), shape, dtype)
-                l_plus = loss_jit(t.add(params, z), data)
-                l_minus = loss_jit(t.add(params, -z), data)
+                l_plus = loss_jit(t.add(params, z), tdata)
+                l_minus = loss_jit(t.add(params, -z), tdata)
                 g_plus = _group_means(l_plus, num_microbatches)
                 g_minus = _group_means(l_minus, num_microbatches)
                 proj = jnp.abs(g_plus - g_minus) / (2.0 * eps)
@@ -127,7 +141,7 @@ def mezo_leaf_scores(
         elif noise_mode == "per_batch":
             for b in range(num_microbatches):
                 mb = jax.tree_util.tree_map(
-                    lambda x: x.reshape(num_microbatches, -1, *x.shape[1:])[b], data
+                    lambda x: x.reshape(num_microbatches, -1, *x.shape[1:])[b], tdata
                 )
                 per_batch = jnp.zeros((), jnp.float32)
                 for n in range(num_noise):

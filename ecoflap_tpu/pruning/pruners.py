@@ -123,6 +123,9 @@ class TwoStagePruner:
 
         mapping = self.adapter.group_mapping(sparsity_ratio_granularity)
         data, num_mb = self._coarse_data()
+        plans = None
+        if self.adapter.build_mezo_plans is not None:
+            plans = self.adapter.build_mezo_plans(self.adapter.params, data)
         return compute_layer_sparsity(
             self.adapter.loss_fn,
             self.adapter.params,
@@ -139,6 +142,7 @@ class TwoStagePruner:
             per_model_group=list(self.adapter.model_prefixes.values()),
             key=self.key,
             noise_mode=self.noise_mode,
+            loss_plans=plans,
             verbose=self.verbose,
         )
 

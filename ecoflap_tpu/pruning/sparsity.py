@@ -58,6 +58,7 @@ def compute_layer_sparsity(
     key: Optional[jax.Array] = None,
     noise_mode: str = "shared",
     first_order_batches: Optional[Sequence[Any]] = None,
+    loss_plans: Optional[Sequence[Any]] = None,
     verbose: bool = True,
 ) -> SparsityDict:
     """ECoFLaP coarse stage: per-layer sparsity ratios under a global budget.
@@ -104,6 +105,7 @@ def compute_layer_sparsity(
             num_noise=num_noise,
             key=key,
             noise_mode=noise_mode,
+            loss_plans=loss_plans,
             progress=(lambda i, n: print(i, n)) if verbose else None,
         )
         importance_sums = mezo_group_sums(
