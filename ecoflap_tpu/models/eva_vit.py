@@ -55,6 +55,9 @@ class EvaViTConfig:
     final_norm: bool = False  # EVA-CLIP: LayerNorm before head
     head_dim: int = 0  # EVA-CLIP: linear head to joint space (0 = none)
     ln_eps: float = 1e-6
+    # "eva": fused qkv, separate q/v bias, zero k bias (eva_vit.py:79-85)
+    # "full": fused qkv with one full bias vector (timm/BLIP ViT-B)
+    qkv_bias_mode: str = "eva"
 
     @property
     def num_patches(self) -> int:
@@ -107,9 +110,17 @@ def init_params(
         "blocks": {
             "norm1": {"scale": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)},
             "attn": {
-                "qkv": {"kernel": normal(ks[3], (L, d, 3 * d))},
-                "q_bias": jnp.zeros((L, d), dtype),
-                "v_bias": jnp.zeros((L, d), dtype),
+                "qkv": (
+                    {"kernel": normal(ks[3], (L, d, 3 * d))}
+                    if cfg.qkv_bias_mode == "eva"
+                    else {"kernel": normal(ks[3], (L, d, 3 * d)),
+                          "bias": jnp.zeros((L, 3 * d), dtype)}
+                ),
+                **(
+                    {"q_bias": jnp.zeros((L, d), dtype),
+                     "v_bias": jnp.zeros((L, d), dtype)}
+                    if cfg.qkv_bias_mode == "eva" else {}
+                ),
                 "proj": {
                     "kernel": normal(ks[4], (L, d, d)),
                     "bias": jnp.zeros((L, d), dtype),
@@ -162,11 +173,15 @@ def block_forward(
 
     h = layer_norm(bp["norm1"], x, cfg.ln_eps)
     collect_stats(stats, "attn.qkv", h, collect)
-    # fused qkv: no kernel bias; add [q_bias, 0, v_bias] (eva_vit.py:123-128)
     qkv = jnp.dot(h, bp["attn"]["qkv"]["kernel"], preferred_element_type=jnp.float32)
-    qkv_bias = jnp.concatenate(
-        [bp["attn"]["q_bias"], jnp.zeros_like(bp["attn"]["q_bias"]), bp["attn"]["v_bias"]]
-    )
+    if cfg.qkv_bias_mode == "eva":
+        # fused qkv: no kernel bias; add [q_bias, 0, v_bias] (eva_vit.py:123-128)
+        qkv_bias = jnp.concatenate(
+            [bp["attn"]["q_bias"], jnp.zeros_like(bp["attn"]["q_bias"]),
+             bp["attn"]["v_bias"]]
+        )
+    else:  # timm/BLIP ViT: one full bias
+        qkv_bias = bp["attn"]["qkv"]["bias"]
     qkv = (qkv + qkv_bias).astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     o = attention(q, k, v, cfg.num_heads)
