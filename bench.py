@@ -104,9 +104,13 @@ def main() -> None:
         max_sparsity_per_layer=0.6,
         score_method="MEZO-GradOnly_sum",
         num_data_first_stage=n_samples,
-        verbose=False,
+        verbose=True,
     )
-    pruned, sparsity_dict = pruner.prune()
+    # progress prints go to stderr; stdout carries ONLY the final JSON line
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):
+        pruned, sparsity_dict = pruner.prune()
     jax.block_until_ready(jax.tree_util.tree_leaves(pruned)[0])
     wall = time.time() - t0
 

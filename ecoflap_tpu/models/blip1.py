@@ -142,8 +142,15 @@ def make_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
     def loss_fn(p, batch):
         return per_sample_loss(cfg, p, batch)
 
-    def build_mezo_plans(p, batch):
-        img = jax.jit(lambda pp, im: encode_image(cfg, pp, im))(p, batch["image"])
+    def build_mezo_plans(p, batch, num_chunks: int = 1):
+        from ecoflap_tpu.pruning.mezo import make_chunked_loss
+
+        enc = make_chunked_loss(
+            lambda pp, b: encode_image(cfg, pp, b["image"]), num_chunks
+        )
+        img = jax.jit(enc)(p, {"image": batch["image"]})
+        n = batch["image"].shape[0]
+        img = img.reshape(n, -1, cfg.vit.embed_dim)
         data = {**batch, "image_embeds": img}
 
         def text_loss(pp, b):

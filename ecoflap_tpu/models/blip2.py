@@ -187,14 +187,21 @@ def make_adapter(cfg: Blip2Config, params: PyTree) -> ModelAdapter:
     def loss_fn(p, batch):
         return per_sample_loss(cfg, p, batch)
 
-    def build_mezo_plans(p, batch):
+    def build_mezo_plans(p, batch, num_chunks: int = 1):
         """Fast path for T5-group perturbations: the ViT/Q-Former prefix is
         untouched by any ``t5_model.*`` target, so its projected query
         embeddings are computed ONCE and every T5 perturbation forward starts
         from them. Roughly halves the zeroth-order stage for BLIP-2, where
         the 39-block ViT-g dominates the forward cost (the reference re-runs
-        the full model per group, layer_single_base_pruner.py:507-536)."""
-        q = jax.jit(lambda pp, img: encode_image(cfg, pp, img))(p, batch["image"])
+        the full model per group, layer_single_base_pruner.py:507-536).
+        Vision precompute streams in ``num_chunks`` chunks (memory)."""
+        from ecoflap_tpu.pruning.mezo import make_chunked_loss
+
+        enc_chunked = make_chunked_loss(
+            lambda pp, img: encode_image(cfg, pp, img["image"]), num_chunks
+        )
+        q = jax.jit(enc_chunked)(p, {"image": batch["image"]})
+        q = q.reshape(batch["image"].shape[0], cfg.num_query_tokens, -1)
         t5_data = {**batch, "query_t5": q}
 
         def t5_loss(pp, b):

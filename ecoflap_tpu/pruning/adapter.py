@@ -92,8 +92,9 @@ class ModelAdapter:
     # submodel prefix per stack, for prune_per_model grouping; e.g.
     # {"visual_encoder.blocks": "visual_encoder"}
     model_prefixes: Dict[str, str] = field(default_factory=dict)
-    # optional (params, data) -> List[LossPlan] for MeZO fast paths
-    build_mezo_plans: Optional[Callable[[PyTree, Any], List["LossPlan"]]] = None
+    # optional (params, data, num_chunks=...) -> List[LossPlan] MeZO fast
+    # paths; num_chunks streams any precompute at microbatch memory scale
+    build_mezo_plans: Optional[Callable[..., List["LossPlan"]]] = None
 
     def targets(self) -> List[WeightTarget]:
         """All prunable weights as functional views, reference-named."""

@@ -44,6 +44,46 @@ def _num_sequences(x: jax.Array) -> int:
     return x.shape[0]
 
 
+def chunked_prepare(
+    prepare_inputs: Callable,
+    params: PyTree,
+    batch: Any,
+    num_chunks: int,
+):
+    """Run a stack's ``prepare_inputs`` over the calibration batch in
+    sequential chunks and reassemble (x, cache).
+
+    prepare_inputs can contain a full upstream tower forward (e.g. the T5
+    decoder stack's prepare runs ViT + Q-Former + T5 encoder, blip2.py
+    dec_prepare); at 128 samples the ViT attention scores alone are ~5 GB
+    f32, so the batch must stream. Cache reassembly heuristic: a mapped leaf
+    of shape (C, mb, ...) is batch-dependent iff its second dim == mb —
+    those concat to (B, ...); anything else is shared and takes chunk 0.
+    """
+    if num_chunks <= 1:
+        return prepare_inputs(params, batch)
+    b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    assert b % num_chunks == 0, (b, num_chunks)
+    mb = b // num_chunks
+    chunks = jax.tree_util.tree_map(
+        lambda a: a.reshape(num_chunks, mb, *a.shape[1:]), batch
+    )
+
+    def one(mb_batch):
+        return prepare_inputs(params, mb_batch)
+
+    x, cache = jax.lax.map(one, chunks)
+    x = x.reshape(b, *x.shape[2:])
+
+    def fix(a):
+        if a.ndim >= 2 and a.shape[1] == mb:
+            return a.reshape(b, *a.shape[2:])
+        return a[0]
+
+    cache = jax.tree_util.tree_map(fix, cache)
+    return x, cache
+
+
 def chunked_block_apply(
     block_forward: Callable,
     bp: PyTree,
@@ -101,7 +141,10 @@ def prune_stack_wanda(
     verbose: bool = True,
 ) -> PyTree:
     """Wanda-prune one stack, streaming calibration activations once."""
-    prep = jax.jit(stack.prepare_inputs)
+    prep = jax.jit(
+        functools.partial(chunked_prepare, stack.prepare_inputs,
+                          num_chunks=num_chunks)
+    )
     fwd_collect = jax.jit(
         functools.partial(
             chunked_block_apply, stack.block_forward,
@@ -144,6 +187,7 @@ def prune_stack_wanda(
             bp = stack.weight_set(bp, local, w_pruned)
         params = stack.set_block(params, i, bp)
         x, _ = fwd(bp, x, cache)
+        x.block_until_ready()  # bound dispatch: set_block copies the stack
     return params
 
 
@@ -160,7 +204,10 @@ def prune_stack_sparsegpt(
     verbose: bool = True,
 ) -> PyTree:
     """SparseGPT-prune one stack (Hessian per linear, OBS column sweep)."""
-    prep = jax.jit(stack.prepare_inputs)
+    prep = jax.jit(
+        functools.partial(chunked_prepare, stack.prepare_inputs,
+                          num_chunks=num_chunks)
+    )
     fwd_collect = jax.jit(
         functools.partial(
             chunked_block_apply, stack.block_forward,
@@ -199,6 +246,7 @@ def prune_stack_sparsegpt(
             bp = stack.weight_set(bp, local, w_pruned)
         params = stack.set_block(params, i, bp)
         x, _ = fwd(bp, x, cache)
+        x.block_until_ready()  # bound dispatch: set_block copies the stack
     return params
 
 

@@ -158,7 +158,12 @@ def mezo_leaf_scores(
         else:
             raise ValueError(f"unknown noise_mode {noise_mode!r}")
 
-        scores[t.name] = score
+        # Materialize to a host float each iteration. This (a) bounds async
+        # dispatch depth — otherwise the host enqueues every target's
+        # perturbed-param copy (hundreds of MB each) faster than the device
+        # drains them and the allocator OOMs — and (b) leaves nothing on
+        # device between targets.
+        scores[t.name] = float(score)
     return scores
 
 

@@ -125,7 +125,9 @@ class TwoStagePruner:
         data, num_mb = self._coarse_data()
         plans = None
         if self.adapter.build_mezo_plans is not None:
-            plans = self.adapter.build_mezo_plans(self.adapter.params, data)
+            plans = self.adapter.build_mezo_plans(
+                self.adapter.params, data, num_chunks=num_mb
+            )
         return compute_layer_sparsity(
             self.adapter.loss_fn,
             self.adapter.params,
