@@ -1,0 +1,111 @@
+"""Infra: LR schedules, optimizer decay mask, loaders, logger, dist, runner."""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ecoflap_tpu.core.optims import (
+    linear_warmup_cosine_lr,
+    linear_warmup_step_lr,
+    make_optimizer,
+)
+from ecoflap_tpu.data.loaders import IterLoader, MultiIterLoader, PrefetchLoader
+from ecoflap_tpu.parallel.dist import get_rank, get_world_size, is_main_process
+from ecoflap_tpu.runners.runner import Runner, global_sparsity
+from ecoflap_tpu.utils.logger import MetricLogger, SmoothedValue
+
+
+def test_warmup_cosine_schedule():
+    sched = linear_warmup_cosine_lr(
+        init_lr=1e-4, min_lr=1e-6, warmup_steps=10, decay_steps=110)
+    assert float(sched(0)) < 1e-5
+    assert abs(float(sched(10)) - 1e-4) < 1e-8
+    assert float(sched(60)) < 1e-4
+    assert float(sched(200)) <= 1e-4
+    assert float(sched(110)) >= 1e-6 - 1e-9
+
+
+def test_warmup_step_schedule():
+    sched = linear_warmup_step_lr(
+        init_lr=1e-3, min_lr=1e-5, warmup_steps=5, decay_rate=0.1,
+        steps_per_epoch=10)
+    assert abs(float(sched(5)) - 1e-3) < 1e-9
+    # count inside step phase is relative; after one epoch it has decayed
+    assert float(sched(16)) < float(sched(6))
+
+
+def test_optimizer_decay_mask():
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    opt = make_optimizer(1e-2, weight_decay=0.5)
+    state = opt.init(params)
+    grads = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+    updates, _ = opt.update(grads, state, params)
+    # zero grads: only weight decay moves params; bias must be untouched
+    assert float(jnp.abs(updates["b"]).max()) == 0.0
+    assert float(jnp.abs(updates["w"]).max()) > 0.0
+
+
+def test_iter_loader_resets():
+    loader = IterLoader(lambda: iter([1, 2, 3]))
+    out = [next(loader) for _ in range(7)]
+    assert out == [1, 2, 3, 1, 2, 3, 1]
+    assert loader.epoch == 2
+
+
+def test_multi_iter_loader_ratios():
+    a = IterLoader(lambda: iter(["a"]))
+    b = IterLoader(lambda: iter(["b"]))
+    ml = MultiIterLoader([a, b], ratios=[9, 1], seed=0)
+    draws = [next(ml) for _ in range(200)]
+    assert draws.count("a") > 150
+
+
+def test_prefetch_loader_order():
+    pl = PrefetchLoader([{"x": np.asarray([i])} for i in range(5)])
+    out = [int(b["x"][0]) for b in pl]
+    assert out == [0, 1, 2, 3, 4]
+
+
+def test_metric_logger():
+    ml = MetricLogger()
+    for v in [1.0, 2.0, 3.0]:
+        ml.update(loss=v)
+    assert abs(ml.meters["loss"].global_avg - 2.0) < 1e-9
+    assert "loss" in str(ml)
+    sv = SmoothedValue(window_size=2)
+    sv.update(1.0)
+    sv.update(5.0)
+    assert sv.avg == 3.0
+
+
+def test_dist_single_process():
+    assert get_rank() == 0
+    assert get_world_size() == 1
+    assert is_main_process()
+
+
+def test_runner_artifacts(tmp_path):
+    r = Runner(str(tmp_path), "jobx")
+    p = r.save_sparsity_dict({"a.weight": 0.5})
+    assert p and p.endswith("jobx.yaml")
+    s = r.save_training_statistics(12.3, {"note": "test"})
+    import yaml
+
+    stats = yaml.safe_load(open(s))
+    assert stats["spent_time"] == 12.3
+    r.log_metrics({"agg_metrics": 1.0})
+    assert (tmp_path / "evaluate.txt").exists()
+    assert global_sparsity({"w": jnp.asarray([0.0, 1.0, 0.0, 2.0])}) == 0.5
+
+
+def test_runner_checkpoint_roundtrip(tmp_path):
+    r = Runner(str(tmp_path), "ck")
+    params = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones((4,))}}
+    r.save_checkpoint(params, "ckpt")
+    back = r.load_checkpoint(params, "ckpt")
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(params["a"]))
+    np.testing.assert_array_equal(np.asarray(back["b"]["c"]),
+                                  np.asarray(params["b"]["c"]))
