@@ -77,6 +77,59 @@ def accumulate_gradients(
     return {k: v / nb for k, v in acc.items()}
 
 
+def first_order_group_sums(
+    loss_fn: LossFn,
+    params: PyTree,
+    batches: Sequence[Any],
+    targets: List[WeightTarget],
+    score_compute: str = "GradMagAbs",
+) -> Dict[str, jax.Array]:
+    """Per-target importance SUMS — all the coarse-stage allocator needs.
+
+    Memory: reduces each microbatch's gradient to one scalar per target
+    INSIDE the jit, so only the (transient) gradient tree and 588 scalars
+    ever exist — never a second params-sized importance accumulation. This is
+    what lets first-order scoring of a 4B BLIP-2 fit a 16 GB chip (the
+    reference holds full CPU-side grad accumulators and peaks at 22.4 GB,
+    BASELINE.md first-order row).
+
+    Matches ``Σ per-element importance`` of ``first_order_importance`` exactly:
+      GradMagAbs:    Σ |W| · (Σ_b |g_b| / nb)   — |g| sums are per-batch, so
+                     the scalar per batch is Σ|W|·|g_b| and the outer mean
+                     over batches commutes with the elementwise sum.
+    """
+    square = score_compute == "GradMagSquare"
+
+    def batch_loss(p, batch):
+        return jnp.mean(loss_fn(p, batch))
+
+    @jax.jit
+    def grad_scalar_stats(p, batch):
+        g = jax.grad(batch_loss)(p, batch)
+        out = {}
+        for t in targets:
+            gt = t.get(g).astype(jnp.float32)
+            gt = gt * gt if square else jnp.abs(gt)
+            if score_compute == "GradOnly":
+                out[t.name] = jnp.sum(gt)
+            else:
+                w = t.get(p).astype(jnp.float32)
+                w = w * w if square else jnp.abs(w)
+                out[t.name] = jnp.sum(w * gt)
+        return out
+
+    acc: Dict[str, float] = {}
+    nb = 0
+    for batch in batches:
+        stats = grad_scalar_stats(params, batch)
+        for k, v in stats.items():
+            acc[k] = acc.get(k, 0.0) + float(v)  # host floats; bounds dispatch
+        nb += 1
+    if nb == 0:
+        raise ValueError("no calibration batches provided")
+    return {k: v / nb for k, v in acc.items()}
+
+
 def first_order_importance(
     loss_fn: LossFn,
     params: PyTree,

@@ -26,7 +26,10 @@ from ecoflap_tpu.pruning.allocator import (
     UniformSparsity,
     compute_sparsity_per_group,
 )
-from ecoflap_tpu.pruning.first_order import first_order_importance
+from ecoflap_tpu.pruning.first_order import (
+    first_order_group_sums,
+    first_order_importance,
+)
 from ecoflap_tpu.pruning.masks import global_mask, iterative_sparsity_schedule
 from ecoflap_tpu.pruning.mezo import mezo_group_sums, mezo_leaf_scores
 from ecoflap_tpu.pruning.targets import WeightTarget
@@ -115,10 +118,9 @@ def compute_layer_sparsity(
         batches = first_order_batches
         if batches is None:
             batches = _split_batches(data, num_microbatches)
-        imp = first_order_importance(
+        importance_sums = first_order_group_sums(
             loss_fn, params, batches, scored_targets, score_compute
         )
-        importance_sums = {k: jnp.sum(v) for k, v in imp.items()}
 
     # ---- group aggregation (return_sparsity, :343-377) -------------------
     group_scores: Dict[str, float] = {}

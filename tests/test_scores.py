@@ -139,3 +139,33 @@ def test_mezo_group_sums_variants(setup):
     assert float(only[t.name]) == pytest.approx(2.0)
     assert float(magabs[t.name]) == pytest.approx(2.0 * np.abs(w).sum(), rel=1e-5)
     assert float(sq[t.name]) == pytest.approx(4.0 * (w**2).sum(), rel=1e-5)
+
+
+def test_group_sums_match_tensor_path():
+    """first_order_group_sums == Σ first_order_importance per target."""
+    import jax.numpy as jnp
+
+    from ecoflap_tpu.pruning.first_order import (
+        first_order_group_sums,
+        first_order_importance,
+    )
+    from tests.toy import make_toy_adapter, make_toy_batch
+
+    adapter = make_toy_adapter(num_blocks=2, dim=8, hidden=16)
+    batch = make_toy_batch(n=8, dim=8)
+    import jax
+
+    batches = [
+        jax.tree_util.tree_map(lambda x: x.reshape(2, -1, *x.shape[1:])[b], batch)
+        for b in range(2)
+    ]
+    targets = adapter.targets()
+    for method in ("GradOnly", "GradMagAbs", "GradMagSquare"):
+        tensors = first_order_importance(
+            adapter.loss_fn, adapter.params, batches, targets, method)
+        sums = first_order_group_sums(
+            adapter.loss_fn, adapter.params, batches, targets, method)
+        for t in targets:
+            ref = float(jnp.sum(tensors[t.name]))
+            assert abs(sums[t.name] - ref) <= 1e-4 * max(abs(ref), 1e-6), (
+                method, t.name, sums[t.name], ref)
