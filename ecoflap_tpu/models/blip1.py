@@ -120,6 +120,183 @@ def itc_features(cfg: Blip1Config, params: PyTree, images, ids, mask):
     return norm(iv), norm(tv)
 
 
+# ---------------------------------------------------------------------------
+# NLVR2 variant (UPop/models/blip_nlvr.py:18-91 + nlvr_encoder.py:228-269)
+# ---------------------------------------------------------------------------
+
+def init_nlvr_params(cfg: Blip1Config, key: jax.Array, dtype=jnp.float32) -> PyTree:
+    """BLIP-NLVR: shared ViT over both images; text encoder whose cross
+    attention runs TWIN streams (image0/image1) with separate output denses,
+    averaged for the first half of the stack and linearly merged for the
+    second (nlvr_encoder.py:239-251,269); 2-way cls head on [CLS]."""
+    base = init_params(cfg, key, dtype)
+    d = cfg.text.hidden_size
+    L = cfg.text.num_layers
+    ks = jax.random.split(jax.random.fold_in(key, 99), 3)
+
+    def dense(k, din, dout):
+        return {
+            "kernel": (jax.random.normal(k, (L, din, dout), jnp.float32) * 0.02).astype(dtype),
+            "bias": jnp.zeros((L, dout), dtype),
+        }
+
+    blocks = base["text_decoder"]["blocks"]
+    blocks["cross"]["out1"] = dense(ks[0], d, d)
+    blocks["cross"]["merge"] = dense(ks[1], 2 * d, d)
+    base["cls_head"] = {
+        "dense": {
+            "kernel": (jax.random.normal(ks[2], (d, d), jnp.float32) * 0.02).astype(dtype),
+            "bias": jnp.zeros((d,), dtype),
+        },
+        "out": {
+            "kernel": (jax.random.normal(ks[2], (d, 2), jnp.float32) * 0.02).astype(dtype),
+            "bias": jnp.zeros((2,), dtype),
+        },
+    }
+    return base
+
+
+def nlvr_block_forward(cfg: Blip1Config, bp: PyTree, x: jax.Array, cache,
+                       collect=None):
+    """Twin-cross BERT layer: shared cross q/k/v weights over both image
+    streams; separate output denses; merge by mean (merge kernel zero-init
+    stacks can emulate the <6-layer average via the merge weights loaded from
+    checkpoints — here the merge linear runs on every layer, covering both
+    reference behaviours once weights are imported)."""
+    from ecoflap_tpu.models.bert import _bert_attn, _proj
+    from ecoflap_tpu.models.layers import attention as mha
+    from ecoflap_tpu.models.layers import collect_stats, layer_norm
+
+    tcfg = cfg.text
+    self_bias, cross_bias0, cross_bias1, enc0, enc1 = cache
+    stats = {}
+    x = _bert_attn(tcfg, bp["attn"], x, x, self_bias, stats, "attention", collect)
+
+    cp = bp["cross"]
+    collect_stats(stats, "crossattention.self.query", x, collect)
+    q = _proj(cp["query"], x)
+
+    def one_stream(enc, bias, out_name):
+        kv = enc.astype(x.dtype)
+        collect_stats(stats, "crossattention.self.key", kv, collect)
+        collect_stats(stats, "crossattention.self.value", kv, collect)
+        k = _proj(cp["key"], kv)
+        v = _proj(cp["value"], kv)
+        o = mha(q, k, v, tcfg.num_heads, bias=bias)
+        collect_stats(stats, out_name, o, collect)
+        return o
+
+    o0 = one_stream(enc0, cross_bias0, "crossattention.output.dense")
+    o1 = one_stream(enc1, cross_bias1, "crossattention.output.dense1")
+    h0 = _proj(cp["out"], o0)
+    h1 = _proj(cp["out1"], o1)
+    cat = jnp.concatenate([h0, h1], axis=-1)
+    collect_stats(stats, "crossattention.merge", cat, collect)
+    merged = _proj(cp["merge"], cat)
+    x = layer_norm(cp["ln"], merged + x, tcfg.ln_eps)
+
+    collect_stats(stats, "intermediate.dense", x, collect)
+    h = jax.nn.gelu(_proj(bp["ffn"]["intermediate"], x), approximate=False)
+    collect_stats(stats, "output.dense", h, collect)
+    h = _proj(bp["ffn"]["out"], h)
+    return layer_norm(bp["ffn"]["ln"], h + x, tcfg.ln_eps), stats
+
+
+def nlvr_forward(cfg: Blip1Config, params: PyTree, batch) -> jax.Array:
+    """(B, 2) logits for NLVR2 (true/false)."""
+    img0 = encode_image(cfg, params, batch["image0"])
+    img1 = encode_image(cfg, params, batch["image1"])
+    ids, mask = batch["text_ids"], batch["text_mask"]
+    x = bert_mod.embed(cfg.text, params["text_decoder"], ids)
+    from ecoflap_tpu.models.layers import mask_bias
+
+    cache = (mask_bias(mask),
+             mask_bias(jnp.ones(img0.shape[:2], jnp.int32)),
+             mask_bias(jnp.ones(img1.shape[:2], jnp.int32)),
+             img0, img1)
+
+    def body(x, bp):
+        y, _ = nlvr_block_forward(cfg, bp, x, cache)
+        return y, None
+
+    x, _ = jax.lax.scan(body, x, params["text_decoder"]["blocks"])
+    cls = x[:, 0]
+    h = (jnp.dot(cls, params["cls_head"]["dense"]["kernel"],
+                 preferred_element_type=jnp.float32)
+         + params["cls_head"]["dense"]["bias"]).astype(cls.dtype)
+    h = jax.nn.relu(h)
+    return (jnp.dot(h, params["cls_head"]["out"]["kernel"],
+                    preferred_element_type=jnp.float32)
+            + params["cls_head"]["out"]["bias"])
+
+
+def nlvr_loss(cfg: Blip1Config, params: PyTree, batch) -> jax.Array:
+    logits = nlvr_forward(cfg, params, batch)
+    return -jax.nn.log_softmax(logits, axis=-1)[
+        jnp.arange(logits.shape[0]), batch["label"]
+    ]
+
+
+def make_nlvr_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
+    """NLVR pruning adapter (task-conditional loss, UPop forward_to_cache
+    nlvr branch, pruners/wanda_pruner.py:721-750)."""
+    vit_stack = eva_vit.make_stack(
+        cfg.vit, name="visual_encoder.blocks", blocks_path="visual_encoder.blocks"
+    )
+
+    # NLVR's ViT sees both images as one doubled batch (blip_nlvr.py:52-55)
+    def vit_prepare(p, batch):
+        images = jnp.concatenate([batch["image0"], batch["image1"]], axis=0)
+        return eva_vit.embed(cfg.vit, p["visual_encoder"], images), None
+
+    vit_stack.prepare_inputs = vit_prepare
+
+    def bert_prepare(p, batch):
+        from ecoflap_tpu.models.layers import mask_bias
+
+        img0 = encode_image(cfg, p, batch["image0"])
+        img1 = encode_image(cfg, p, batch["image1"])
+        x = bert_mod.embed(cfg.text, p["text_decoder"], batch["text_ids"])
+        cache = (mask_bias(batch["text_mask"]),
+                 mask_bias(jnp.ones(img0.shape[:2], jnp.int32)),
+                 mask_bias(jnp.ones(img1.shape[:2], jnp.int32)),
+                 img0, img1)
+        return x, cache
+
+    from ecoflap_tpu.models.adapters import make_stack as _mk
+
+    nlvr_linears = bert_mod.LINEAR_NAMES + (
+        "crossattention.output.dense1", "crossattention.merge",
+    )
+    local_to_path = dict(bert_mod.LOCAL_TO_PATH)
+    local_to_path["crossattention.output.dense1"] = "cross.out1"
+    local_to_path["crossattention.merge"] = "cross.merge"
+
+    def _fwd(bp, x, cache, collect=None):
+        return nlvr_block_forward(cfg, bp, x, cache, collect)
+
+    bert_stack = _mk(
+        name="text_encoder.bert.encoder.layer",
+        num_blocks=cfg.text.num_layers,
+        linear_names=nlvr_linears,
+        per_row_mask=True,
+        prepare_inputs=bert_prepare,
+        block_forward=_fwd,
+        blocks_path="text_decoder.blocks",
+        local_to_path=local_to_path,
+    )
+
+    def loss_fn(p, batch):
+        return nlvr_loss(cfg, p, batch)
+
+    return ModelAdapter(
+        name="blip_nlvr", params=params, loss_fn=loss_fn,
+        stacks=[vit_stack, bert_stack],
+        model_prefixes={vit_stack.name: "visual_encoder",
+                        bert_stack.name: "text_encoder"},
+    )
+
+
 def make_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
     vit_stack = eva_vit.make_stack(
         cfg.vit, name="visual_encoder.blocks", blocks_path="visual_encoder.blocks"

@@ -73,11 +73,13 @@ def chunked_prepare(
         return prepare_inputs(params, mb_batch)
 
     x, cache = jax.lax.map(one, chunks)
-    x = x.reshape(b, *x.shape[2:])
+    # x's per-chunk batch may differ from mb (e.g. NLVR doubles images)
+    bx = x.shape[1]
+    x = x.reshape(num_chunks * bx, *x.shape[2:])
 
     def fix(a):
-        if a.ndim >= 2 and a.shape[1] == mb:
-            return a.reshape(b, *a.shape[2:])
+        if a.ndim >= 2 and a.shape[1] in (mb, bx):
+            return a.reshape(num_chunks * a.shape[1], *a.shape[2:])
         return a[0]
 
     cache = jax.tree_util.tree_map(fix, cache)

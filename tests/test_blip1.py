@@ -96,3 +96,39 @@ def test_upop_style_prune(model):
     assert losses[-1] < losses[0]
     adapter.params = tuned
     assert 0.35 <= pruner.check_sparsity() <= 0.65
+
+
+def test_nlvr_forward_and_prune():
+    cfg = blip1.tiny_config()
+    params = blip1.init_nlvr_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n, s, img = 8, 8, cfg.vit.img_size
+    b = {
+        "image0": jnp.asarray(rng.normal(size=(n, img, img, 3)), jnp.float32),
+        "image1": jnp.asarray(rng.normal(size=(n, img, img, 3)), jnp.float32),
+        "text_ids": jnp.asarray(
+            rng.integers(2, cfg.text.vocab_size, size=(n, s)), jnp.int32),
+        "text_mask": jnp.ones((n, s), jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 2, size=(n,)), jnp.int32),
+    }
+    logits = blip1.nlvr_forward(cfg, params, b)
+    assert logits.shape == (n, 2)
+    adapter = blip1.make_nlvr_adapter(cfg, params)
+    pruner = WandaPruner(
+        adapter, b, num_microbatches=2,
+        stack_specs={
+            "visual_encoder.blocks": f"{cfg.vit.depth}-0.5-1.0-1.0",
+            "text_encoder.bert.encoder.layer":
+                f"{cfg.text.num_layers}-0.5-1.0-1.0",
+        },
+        sparsity_ratio_granularity="block",
+        max_sparsity_per_layer=0.6,
+        score_method="MEZO-GradOnly_sum",
+        num_data_first_stage=4,
+        verbose=False,
+    )
+    _, sd = pruner.prune()
+    assert "text_encoder.bert.encoder.layer.0.crossattention.merge.weight" in sd
+    assert 0.35 <= pruner.check_sparsity() <= 0.65
+    out = blip1.nlvr_forward(cfg, adapter.params, b)
+    assert bool(jnp.all(jnp.isfinite(out)))
