@@ -28,6 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: repeated bench runs (and the driver's) skip
+# the multi-minute XLA compiles of the big chunked-loss programs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ecoflap_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 BASELINE_S = 6114.9
 
 

@@ -120,6 +120,24 @@ def _bert_attention(
     return layer_norm(ap["output"]["ln"], o + x, cfg.ln_eps)
 
 
+def _layer_forward(cfg, layer, x, image_embeds, bias):
+    x = _bert_attention(cfg, layer["self_attn"], x, x, None)
+    if "cross_attn" in layer:
+        x = _bert_attention(cfg, layer["cross_attn"], x, image_embeds, bias)
+    h = (
+        jnp.dot(x, layer["ffn"]["intermediate"]["kernel"],
+                preferred_element_type=jnp.float32)
+        + layer["ffn"]["intermediate"]["bias"]
+    ).astype(x.dtype)
+    h = gelu(h, approximate=False)
+    h = (
+        jnp.dot(h, layer["ffn"]["output"]["dense"]["kernel"],
+                preferred_element_type=jnp.float32)
+        + layer["ffn"]["output"]["dense"]["bias"]
+    ).astype(x.dtype)
+    return layer_norm(layer["ffn"]["output"]["ln"], h + x, cfg.ln_eps)
+
+
 def forward(
     cfg: QFormerConfig,
     params: PyTree,
@@ -127,7 +145,13 @@ def forward(
     image_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Query-only Q-Former: (B, Nimg, encoder_width) image tokens ->
-    (B, num_query_tokens, hidden) query outputs (Qformer.py:402-470)."""
+    (B, num_query_tokens, hidden) query outputs (Qformer.py:402-470).
+
+    With the standard every-2nd-layer cross-attention layout the layer list
+    is scanned as stacked (cross, plain) PAIRS — one compiled pair program
+    instead of 12 inlined layers. Cuts the traced-graph size ~6x, which is
+    what makes the full BLIP-2 loss compile in seconds instead of minutes
+    when nested under chunked lax.map."""
     b = image_embeds.shape[0]
     x = jnp.broadcast_to(
         params["query_tokens"].astype(image_embeds.dtype),
@@ -139,20 +163,25 @@ def forward(
         from ecoflap_tpu.models.layers import mask_bias
         bias = mask_bias(image_mask)
 
-    for layer in params["layers"]:
-        x = _bert_attention(cfg, layer["self_attn"], x, x, None)
-        if "cross_attn" in layer:
-            x = _bert_attention(cfg, layer["cross_attn"], x, image_embeds, bias)
-        h = (
-            jnp.dot(x, layer["ffn"]["intermediate"]["kernel"],
-                    preferred_element_type=jnp.float32)
-            + layer["ffn"]["intermediate"]["bias"]
-        ).astype(x.dtype)
-        h = gelu(h, approximate=False)
-        h = (
-            jnp.dot(h, layer["ffn"]["output"]["dense"]["kernel"],
-                    preferred_element_type=jnp.float32)
-            + layer["ffn"]["output"]["dense"]["bias"]
-        ).astype(x.dtype)
-        x = layer_norm(layer["ffn"]["output"]["ln"], h + x, cfg.ln_eps)
+    layers = params["layers"]
+    pairable = (
+        cfg.cross_attention_freq == 2
+        and cfg.num_layers % 2 == 0
+        and all(("cross_attn" in l) == (i % 2 == 0) for i, l in enumerate(layers))
+    )
+    if pairable and cfg.num_layers >= 4:
+        evens = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers[0::2])
+        odds = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers[1::2])
+
+        def body(x, pair):
+            even, odd = pair
+            x = _layer_forward(cfg, even, x, image_embeds, bias)
+            x = _layer_forward(cfg, odd, x, image_embeds, bias)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, (evens, odds))
+        return x
+
+    for layer in layers:
+        x = _layer_forward(cfg, layer, x, image_embeds, bias)
     return x
