@@ -121,6 +121,132 @@ def itc_features(cfg: Blip1Config, params: PyTree, images, ids, mask):
 
 
 # ---------------------------------------------------------------------------
+# VQA variant (UPop/models/blip_vqa.py): question encoder + answer decoder
+# ---------------------------------------------------------------------------
+
+def init_vqa_params(cfg: Blip1Config, key: jax.Array, dtype=jnp.float32) -> PyTree:
+    """BLIP-VQA: shared ViT; BERT ``text_encoder`` (bidirectional, cross-attn
+    to image) encodes the question; BERT ``text_decoder`` (causal, cross-attn
+    to question states) generates/scores the answer."""
+    kv, ke, kd = jax.random.split(key, 3)
+    enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False})
+    return {
+        "visual_encoder": eva_vit.init_params(cfg.vit, kv, dtype),
+        "text_encoder": bert_mod.init_params(enc_cfg, ke, dtype),
+        "text_decoder": bert_mod.init_params(cfg.text, kd, dtype),
+    }
+
+
+def vqa_loss(cfg: Blip1Config, params: PyTree, batch) -> jax.Array:
+    """(B,) answer LM loss given image+question (blip_vqa.py train branch)."""
+    img = encode_image(cfg, params, batch["image"])
+    enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False})
+    q_states = bert_mod.forward(
+        enc_cfg, params["text_encoder"], batch["question_ids"],
+        batch["question_mask"], img,
+    )
+    hidden = bert_mod.forward(
+        cfg.text, params["text_decoder"], batch["answer_ids"],
+        batch["answer_mask"], q_states, batch["question_mask"],
+    )
+    logits = bert_mod.lm_logits(cfg.text, params["text_decoder"], hidden)
+    targets = batch["answer_ids"][:, 1:]
+    valid = batch["answer_mask"][:, 1:] > 0
+    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, ce, 0.0)
+    return jnp.sum(ce, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1)
+
+
+def make_vqa_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
+    vit_stack = eva_vit.make_stack(
+        cfg.vit, name="visual_encoder.blocks", blocks_path="visual_encoder.blocks"
+    )
+    enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False})
+
+    def enc_prepare(p, batch):
+        img = encode_image(cfg, p, batch["image"])
+        x = bert_mod.embed(enc_cfg, p["text_encoder"], batch["question_ids"])
+        cache = bert_mod.make_cache(
+            enc_cfg, batch["question_mask"], img,
+            jnp.ones(img.shape[:2], jnp.int32), x.shape[1])
+        return x, cache
+
+    def dec_prepare(p, batch):
+        img = encode_image(cfg, p, batch["image"])
+        q_states = bert_mod.forward(
+            enc_cfg, p["text_encoder"], batch["question_ids"],
+            batch["question_mask"], img)
+        x = bert_mod.embed(cfg.text, p["text_decoder"], batch["answer_ids"])
+        cache = bert_mod.make_cache(
+            cfg.text, batch["answer_mask"], q_states, batch["question_mask"],
+            x.shape[1])
+        return x, cache
+
+    enc_stack = bert_mod.make_bert_stack(
+        enc_cfg, "text_encoder.bert.encoder.layer", "text_encoder.blocks",
+        enc_prepare)
+    dec_stack = bert_mod.make_bert_stack(
+        cfg.text, "text_decoder.bert.encoder.layer", "text_decoder.blocks",
+        dec_prepare)
+
+    def loss_fn(p, batch):
+        return vqa_loss(cfg, p, batch)
+
+    return ModelAdapter(
+        name="blip_vqa", params=params, loss_fn=loss_fn,
+        stacks=[vit_stack, enc_stack, dec_stack],
+        model_prefixes={vit_stack.name: "visual_encoder",
+                        enc_stack.name: "text_encoder",
+                        dec_stack.name: "text_decoder"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval variant (UPop/models/blip_retrieval.py / blip_itm.py): ITC + ITM
+# ---------------------------------------------------------------------------
+
+def init_retrieval_params(cfg: Blip1Config, key: jax.Array,
+                          dtype=jnp.float32) -> PyTree:
+    base = init_params(cfg, key, dtype)
+    d = cfg.text.hidden_size
+    k = jax.random.fold_in(key, 123)
+    base["itm_head"] = {
+        "kernel": (jax.random.normal(k, (d, 2), jnp.float32) * 0.02).astype(dtype),
+        "bias": jnp.zeros((2,), dtype),
+    }
+    return base
+
+
+def itm_logits(cfg: Blip1Config, params: PyTree, images, ids, mask) -> jax.Array:
+    """(B, 2) image-text-matching logits: text encoder WITH cross-attn to the
+    image, [CLS] -> itm_head (blip_itm.py itm branch)."""
+    img = encode_image(cfg, params, images)
+    enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False})
+    hidden = bert_mod.forward(enc_cfg, params["text_decoder"], ids, mask, img)
+    cls = hidden[:, 0]
+    return (jnp.dot(cls, params["itm_head"]["kernel"],
+                    preferred_element_type=jnp.float32)
+            + params["itm_head"]["bias"])
+
+
+def retrieval_sim_matrix(cfg: Blip1Config, params: PyTree, images, texts_ids,
+                         texts_mask) -> jax.Array:
+    """(N_img, N_txt) ITC cosine similarity (first-stage retrieval scores;
+    ITM re-ranks the top-k via tasks.retrieval.rerank_fn)."""
+    iv, _ = itc_features(cfg, params, images, texts_ids[: images.shape[0]],
+                         texts_mask[: images.shape[0]])
+    enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False,
+                                     "add_cross_attention": False})
+    hidden = bert_mod.forward(enc_cfg, params["text_decoder"], texts_ids,
+                              texts_mask)
+    tv = jnp.dot(hidden[:, 0], params["text_proj"]["kernel"],
+                 preferred_element_type=jnp.float32) + params["text_proj"]["bias"]
+    tv = tv / jnp.linalg.norm(tv, axis=-1, keepdims=True)
+    return jnp.dot(iv, tv.T)
+
+
+# ---------------------------------------------------------------------------
 # NLVR2 variant (UPop/models/blip_nlvr.py:18-91 + nlvr_encoder.py:228-269)
 # ---------------------------------------------------------------------------
 

@@ -132,3 +132,48 @@ def test_nlvr_forward_and_prune():
     assert 0.35 <= pruner.check_sparsity() <= 0.65
     out = blip1.nlvr_forward(cfg, adapter.params, b)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_vqa_variant():
+    cfg = blip1.tiny_config()
+    params = blip1.init_vqa_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n, img = 8, cfg.vit.img_size
+    b = {
+        "image": jnp.asarray(rng.normal(size=(n, img, img, 3)), jnp.float32),
+        "question_ids": jnp.asarray(
+            rng.integers(2, cfg.text.vocab_size, size=(n, 6)), jnp.int32),
+        "question_mask": jnp.ones((n, 6), jnp.int32),
+        "answer_ids": jnp.asarray(
+            rng.integers(2, cfg.text.vocab_size, size=(n, 4)), jnp.int32),
+        "answer_mask": jnp.ones((n, 4), jnp.int32),
+    }
+    losses = blip1.vqa_loss(cfg, params, b)
+    assert losses.shape == (n,)
+    adapter = blip1.make_vqa_adapter(cfg, params)
+    assert len(adapter.stacks) == 3
+    pruner = WandaPruner(
+        adapter, b, num_microbatches=2,
+        stack_specs={s.name: f"{s.num_blocks}-0.5-1.0-1.0"
+                     for s in adapter.stacks},
+        verbose=False,
+    )
+    pruner.prune()
+    assert 0.4 <= pruner.check_sparsity() <= 0.6
+
+
+def test_retrieval_itm():
+    cfg = blip1.tiny_config()
+    params = blip1.init_retrieval_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n, img, s = 4, cfg.vit.img_size, 8
+    images = jnp.asarray(rng.normal(size=(n, img, img, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(2, cfg.text.vocab_size, size=(n, s)), jnp.int32)
+    mask = jnp.ones((n, s), jnp.int32)
+    sim = blip1.retrieval_sim_matrix(cfg, params, images, ids, mask)
+    assert sim.shape == (n, n)
+    lg = blip1.itm_logits(cfg, params, images, ids, mask)
+    assert lg.shape == (n, 2)
+    from ecoflap_tpu.tasks.retrieval import score_retrieval
+    scores = score_retrieval(np.asarray(sim))
+    assert "txt_r1" in scores and "agg_metrics" in scores
