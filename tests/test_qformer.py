@@ -27,3 +27,30 @@ def test_scan_pairs_match_loop():
 
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_stage1_itc_itm():
+    import jax.numpy as jnp
+
+    from ecoflap_tpu.models import blip2_qformer as q1
+    from ecoflap_tpu.tasks.retrieval import score_retrieval
+
+    cfg = q1.tiny_config()
+    params = q1.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n, m, s = 3, 5, 7
+    img = jnp.asarray(
+        rng.normal(size=(n, 6, cfg.qformer.encoder_width)), jnp.float32)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, size=(m, s)), jnp.int32)
+    mask = jnp.ones((m, s), jnp.int32)
+
+    sim = q1.itc_sim_matrix(cfg, params, img, ids, mask)
+    assert sim.shape == (n, m)
+    assert bool(jnp.all(jnp.isfinite(sim)))
+
+    score = q1.itm_score(cfg, params, img, ids[:n], mask[:n])
+    assert score.shape == (n,)
+
+    # the ITM joint path must actually use the image: changing it moves scores
+    score2 = q1.itm_score(cfg, params, img + 1.0, ids[:n], mask[:n])
+    assert float(jnp.abs(score - score2).max()) > 1e-6
