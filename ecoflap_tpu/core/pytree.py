@@ -75,5 +75,22 @@ def update_leaf(
     return set_leaf(tree, name, fn(get_leaf(tree, name, sep)), sep)
 
 
+def set_leaf_mutate(tree: PyTree, name: str, value: Any, sep: str = ".") -> None:
+    """MUTATE the container holding the leaf (no spine copy).
+
+    Deliberately impure: used by the donated in-place MeZO perturbation,
+    where every live reference to the tree (e.g. ``adapter.params``) must see
+    the replacement array because the old buffer was donated."""
+    parts = name.split(sep)
+    node = tree
+    for part in parts[:-1]:
+        node = node[part] if isinstance(node, dict) else node[int(part)]
+    last = parts[-1]
+    if isinstance(node, dict):
+        node[last] = value
+    else:
+        node[int(last)] = value
+
+
 def tree_size(tree: PyTree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))

@@ -74,4 +74,6 @@ def make_stack(
         set_block=functools.partial(stacked_set_block, blocks_path),
         weight_get=functools.partial(kernel_get, local_to_path=local_to_path),
         weight_set=functools.partial(kernel_set, local_to_path=local_to_path),
+        blocks_path=blocks_path,
+        local_to_path=local_to_path,
     )

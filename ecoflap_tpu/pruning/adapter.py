@@ -57,6 +57,11 @@ class StackSpec:
     # local linear access inside one block's params (torch layout (out, in))
     weight_get: Callable[[PyTree, str], jax.Array]
     weight_set: Callable[[PyTree, str, jax.Array], PyTree]
+    # standard stacked-storage metadata (set by models.adapters.make_stack):
+    # lets the core build direct path-addressed WeightTargets, enabling the
+    # low-allocation donated perturbation path in mezo.py
+    blocks_path: Optional[str] = None
+    local_to_path: Optional[Dict[str, str]] = None
 
     def weight_key(self, i: int, local_name: str) -> str:
         """Reference-style sparsity-dict key (wanda_pruner.py:275,553)."""
@@ -106,8 +111,16 @@ class ModelAdapter:
         return out
 
     def _make_target(self, stack: StackSpec, i: int, local: str) -> WeightTarget:
-        # Default: targets go through the stack's block accessors. Subclasses
-        # of the protocol may build finer-grained WeightTargets directly.
+        # Standard stacked storage: direct path-addressed target (fast,
+        # donation-friendly). Custom layouts fall back to accessor routing.
+        if stack.blocks_path is not None:
+            path = (stack.local_to_path or {}).get(local, local)
+            return WeightTarget(
+                name=stack.weight_key(i, local),
+                tree_path=f"{stack.blocks_path}.{path}.kernel",
+                block_index=i,
+                transpose=True,
+            )
         return StackWeightTarget(
             name=stack.weight_key(i, local),
             tree_path="",  # unused by StackWeightTarget
