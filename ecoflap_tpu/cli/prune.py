@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prune_per_model", action="store_true")
     p.add_argument("--prune_n", type=int, default=0)
     p.add_argument("--prune_m", type=int, default=0)
+    p.add_argument("--sparsity_type", default="unstructured",
+                   help="unstructured | N:M (e.g. 2:4, 4:8 — LLaMA/main.py:31)")
     # global-pruner baselines
     p.add_argument("--is_global", action="store_true")
     p.add_argument("--iteration", type=int, default=1)
@@ -194,6 +196,8 @@ def main(argv=None) -> Dict[str, Any]:
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.sparsity_type != "unstructured" and ":" in args.sparsity_type:
+        args.prune_n, args.prune_m = map(int, args.sparsity_type.split(":"))
     job_id = args.job_id or (
         f"{args.pruning_method}_{args.prune_spec or 'none'}"
         f"_{args.score_method}_{args.sparsity_ratio_granularity}"
