@@ -109,6 +109,7 @@ def main() -> None:
         max_sparsity_per_layer=0.6,
         score_method="MEZO-GradOnly_sum",
         num_data_first_stage=n_samples,
+        eval_chunk_size=int(os.environ.get("ECOFLAP_EVAL_CHUNK", "32")),
         verbose=True,
     )
     # progress prints go to stderr; stdout carries ONLY the final JSON line

@@ -130,6 +130,7 @@ def mezo_leaf_scores(
     key: Optional[jax.Array] = None,
     noise_mode: str = "shared",
     loss_plans: Optional[Sequence[Any]] = None,
+    eval_chunks: Optional[int] = None,
     progress: Optional[Callable[[int, str], None]] = None,
 ) -> Dict[str, jax.Array]:
     """Scalar |projected-gradient| score per target.
@@ -152,8 +153,11 @@ def mezo_leaf_scores(
         key = jax.random.PRNGKey(0)
 
     # shared mode streams all microbatches through one call; chunk the
-    # evaluation so activation memory stays at single-microbatch scale
-    chunks = num_microbatches if noise_mode == "shared" else 1
+    # evaluation so activation memory stays bounded. ``eval_chunks`` decouples
+    # the MEMORY granularity from the reference's per-microbatch loss
+    # averaging (which group_means reproduces regardless): fewer, larger
+    # chunks = fewer sequential scan steps = better MXU utilization.
+    chunks = (eval_chunks or num_microbatches) if noise_mode == "shared" else 1
     default_pair = (jax.jit(make_chunked_loss(loss_fn, chunks)), data)
     plan_pairs = [
         (p, jax.jit(make_chunked_loss(p.loss_fn, chunks)), p.data)

@@ -75,12 +75,14 @@ class TwoStagePruner:
         prune_m: int = 0,
         noise_mode: str = "shared",
         key: Optional[jax.Array] = None,
+        eval_chunk_size: Optional[int] = None,
         verbose: bool = True,
         **kwargs: Any,
     ) -> None:
         self.adapter = adapter
         self.data = data
         self.num_microbatches = num_microbatches
+        self.eval_chunk_size = eval_chunk_size
         self.prune_spec = prune_spec
         self.stack_specs = dict(stack_specs or {})
         self.sparsity_ratio_granularity = sparsity_ratio_granularity
@@ -126,7 +128,7 @@ class TwoStagePruner:
         plans = None
         if self.adapter.build_mezo_plans is not None:
             plans = self.adapter.build_mezo_plans(
-                self.adapter.params, data, num_chunks=num_mb
+                self.adapter.params, data, num_chunks=self._eval_chunks(data) or num_mb
             )
         return compute_layer_sparsity(
             self.adapter.loss_fn,
@@ -145,8 +147,16 @@ class TwoStagePruner:
             key=self.key,
             noise_mode=self.noise_mode,
             loss_plans=plans,
+            eval_chunks=self._eval_chunks(data),
             verbose=self.verbose,
         )
+
+    def _eval_chunks(self, data: Any) -> Optional[int]:
+        """Memory-chunk count from eval_chunk_size (None = per-microbatch)."""
+        if self.eval_chunk_size is None:
+            return None
+        n = _leading_dim(data)
+        return max(1, n // max(self.eval_chunk_size, 1))
 
     # -- fine stage --------------------------------------------------------
     def _prune_stack(self, stack, params, ratios):
@@ -158,7 +168,7 @@ class TwoStagePruner:
                 ratios,
                 prune_n=self.prune_n,
                 prune_m=self.prune_m,
-                num_chunks=self.num_microbatches,
+                num_chunks=self._eval_chunks(self.data) or self.num_microbatches,
                 verbose=self.verbose,
             )
         if self.local_method == "sparsegpt":
@@ -169,7 +179,7 @@ class TwoStagePruner:
                 ratios,
                 prune_n=self.prune_n,
                 prune_m=self.prune_m,
-                num_chunks=self.num_microbatches,
+                num_chunks=self._eval_chunks(self.data) or self.num_microbatches,
                 verbose=self.verbose,
             )
         raise ValueError(self.local_method)

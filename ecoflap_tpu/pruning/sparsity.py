@@ -62,6 +62,7 @@ def compute_layer_sparsity(
     noise_mode: str = "shared",
     first_order_batches: Optional[Sequence[Any]] = None,
     loss_plans: Optional[Sequence[Any]] = None,
+    eval_chunks: Optional[int] = None,
     verbose: bool = True,
 ) -> SparsityDict:
     """ECoFLaP coarse stage: per-layer sparsity ratios under a global budget.
@@ -109,6 +110,7 @@ def compute_layer_sparsity(
             key=key,
             noise_mode=noise_mode,
             loss_plans=loss_plans,
+            eval_chunks=eval_chunks,
             progress=(lambda i, n: print(i, n)) if verbose else None,
         )
         importance_sums = mezo_group_sums(
