@@ -111,6 +111,59 @@ class Runner:
         return path
 
 
+class TrainRunner(Runner):
+    """Epoch-based training orchestration — RunnerBase.train
+    (runner_base.py:360-417): per-epoch masked train pass, evaluation,
+    best-checkpoint tracking on ``agg_metrics``, resumable train state."""
+
+    def __init__(self, output_dir: str = "output", job_id: str = "job",
+                 max_epoch: int = 1):
+        super().__init__(output_dir, job_id)
+        self.max_epoch = max_epoch
+        self.best_agg = float("-inf")
+        self.best_epoch = -1
+
+    def train(self, loss_fn, params, epoch_batches_fn, task=None,
+              eval_data_fn=None, optimizer=None, masks=None,
+              learning_rate: float = 1e-5, weight_decay: float = 0.05):
+        """epoch_batches_fn(epoch) -> iterable of batches;
+        eval_data_fn() -> data for task.evaluation. Returns best params."""
+        import optax
+
+        from ecoflap_tpu.runners.finetune import (
+            make_sparsity_masks,
+            make_train_step,
+        )
+
+        optimizer = optimizer or optax.adamw(learning_rate,
+                                             weight_decay=weight_decay)
+        masks = masks if masks is not None else make_sparsity_masks(params)
+        opt_state = optimizer.init(params)
+        step = make_train_step(loss_fn, optimizer, donate=False)
+        best_params = params
+
+        for epoch in range(self.max_epoch):
+            losses = []
+            for batch in epoch_batches_fn(epoch):
+                params, opt_state, loss = step(params, opt_state, masks, batch)
+                losses.append(float(loss))
+            metrics: Dict[str, Any] = {
+                "epoch": epoch,
+                "train_loss": sum(losses) / max(len(losses), 1),
+            }
+            if task is not None and eval_data_fn is not None:
+                metrics.update(task.evaluation(eval_data_fn()))
+                agg = metrics.get("agg_metrics", -metrics["train_loss"])
+            else:
+                agg = -metrics["train_loss"]
+            self.log_metrics(metrics, split=f"epoch_{epoch}")
+            if agg > self.best_agg:
+                self.best_agg, self.best_epoch = agg, epoch
+                best_params = params
+                self.save_checkpoint(params, "checkpoint_best")
+        return best_params
+
+
 def global_sparsity(params: PyTree) -> float:
     """Σ(p==0)/Σnumel over all leaves (evaluate_blip.py:432-436)."""
     import jax.numpy as jnp

@@ -109,3 +109,48 @@ def test_runner_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(params["a"]))
     np.testing.assert_array_equal(np.asarray(back["b"]["c"]),
                                   np.asarray(params["b"]["c"]))
+
+
+def test_timer_and_print_time(capsys):
+    from ecoflap_tpu.utils.profiling import Timer, print_time
+
+    t = Timer()
+    with t("phase_a"):
+        pass
+    with t("phase_a"):
+        pass
+    assert "phase_a" in t.summary()
+
+    @print_time
+    def f():
+        return 3
+
+    assert f() == 3
+    assert "f spent" in capsys.readouterr().out
+
+
+def test_train_runner_best_ckpt(tmp_path):
+    import optax
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.runners.runner import TrainRunner
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, size=(8, 10)), jnp.int32)
+
+    def loss_fn(p, batch):
+        return llama.per_sample_loss(cfg, p, batch["input_ids"])
+
+    r = TrainRunner(str(tmp_path), "train", max_epoch=2)
+    best = r.train(
+        loss_fn, params,
+        epoch_batches_fn=lambda e: [{"input_ids": ids}] * 3,
+        optimizer=optax.adam(1e-2),
+    )
+    assert r.best_epoch >= 0
+    assert (tmp_path / "checkpoint_best").exists()
+    l0 = float(jnp.mean(loss_fn(params, {"input_ids": ids})))
+    l1 = float(jnp.mean(loss_fn(best, {"input_ids": ids})))
+    assert l1 < l0
