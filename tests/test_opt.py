@@ -1,0 +1,94 @@
+"""OPT decoder: HF logit parity, causality, pruning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecoflap_tpu.models import opt
+from ecoflap_tpu.pruning.pruners import WandaPruner
+
+torch = pytest.importorskip("torch")
+
+
+def test_opt_logits_match_hf():
+    from transformers import OPTConfig as HFOPTConfig
+    from transformers import OPTForCausalLM
+
+    hf_cfg = HFOPTConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, ffn_dim=48, max_position_embeddings=64,
+        do_layer_norm_before=True, dropout=0.0, activation_function="relu",
+        word_embed_proj_dim=32, pad_token_id=1,
+    )
+    torch.manual_seed(0)
+    hf = OPTForCausalLM(hf_cfg).eval()
+
+    cfg = opt.tiny_config(d_ff=48)
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    # convert inline (layout identical to llama converter patterns)
+    L = cfg.num_layers
+    p = "model.decoder.layers.{i}."
+
+    def stack_t(fmt):
+        return np.stack([state[fmt.format(i=i)].T for i in range(L)])
+
+    def stack(fmt):
+        return np.stack([state[fmt.format(i=i)] for i in range(L)])
+
+    params = {
+        "embed_tokens": jnp.asarray(state["model.decoder.embed_tokens.weight"]),
+        "embed_positions": jnp.asarray(
+            state["model.decoder.embed_positions.weight"]),
+        "layers": {
+            "ln1": {"scale": jnp.asarray(stack(p + "self_attn_layer_norm.weight")),
+                    "bias": jnp.asarray(stack(p + "self_attn_layer_norm.bias"))},
+            "attn": {
+                "q": {"kernel": jnp.asarray(stack_t(p + "self_attn.q_proj.weight")),
+                      "bias": jnp.asarray(stack(p + "self_attn.q_proj.bias"))},
+                "k": {"kernel": jnp.asarray(stack_t(p + "self_attn.k_proj.weight")),
+                      "bias": jnp.asarray(stack(p + "self_attn.k_proj.bias"))},
+                "v": {"kernel": jnp.asarray(stack_t(p + "self_attn.v_proj.weight")),
+                      "bias": jnp.asarray(stack(p + "self_attn.v_proj.bias"))},
+                "o": {"kernel": jnp.asarray(stack_t(p + "self_attn.out_proj.weight")),
+                      "bias": jnp.asarray(stack(p + "self_attn.out_proj.bias"))},
+            },
+            "ln2": {"scale": jnp.asarray(stack(p + "final_layer_norm.weight")),
+                    "bias": jnp.asarray(stack(p + "final_layer_norm.bias"))},
+            "mlp": {
+                "fc1": {"kernel": jnp.asarray(stack_t(p + "fc1.weight")),
+                        "bias": jnp.asarray(stack(p + "fc1.bias"))},
+                "fc2": {"kernel": jnp.asarray(stack_t(p + "fc2.weight")),
+                        "bias": jnp.asarray(stack(p + "fc2.bias"))},
+            },
+        },
+        "final_ln": {"scale": jnp.asarray(state["model.decoder.final_layer_norm.weight"]),
+                     "bias": jnp.asarray(state["model.decoder.final_layer_norm.bias"])},
+    }
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 64, size=(2, 9))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(opt.forward(cfg, params, jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_opt_prune():
+    cfg = opt.tiny_config()
+    params = opt.init_params(cfg, jax.random.PRNGKey(0))
+    adapter = opt.make_adapter(cfg, params)
+    rng = np.random.default_rng(0)
+    b = {"input_ids": jnp.asarray(rng.integers(3, cfg.vocab_size, size=(8, 10)),
+                                  jnp.int32)}
+    pruner = WandaPruner(
+        adapter, b, num_microbatches=2,
+        prune_spec=f"{cfg.num_layers}-0.5-1.0-1.0",
+        sparsity_ratio_granularity="block", max_sparsity_per_layer=0.7,
+        score_method="MEZO-GradOnly_sum", num_data_first_stage=4,
+        verbose=False,
+    )
+    _, sd = pruner.prune()
+    assert "model.decoder.layers.0.self_attn.q_proj.weight" in sd
+    assert 0.35 <= pruner.check_sparsity() <= 0.65
