@@ -92,3 +92,44 @@ def test_opt_prune():
     _, sd = pruner.prune()
     assert "model.decoder.layers.0.self_attn.q_proj.weight" in sd
     assert 0.35 <= pruner.check_sparsity() <= 0.65
+
+
+def test_blip2_opt_loss_and_prune():
+    from ecoflap_tpu.models import blip2_opt
+
+    cfg = blip2_opt.tiny_config()
+    params = blip2_opt.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n, s, img = 8, 8, cfg.vit.img_size
+    mask = np.ones((n, s), np.int32)
+    mask[:, -2:] = 0
+    b = {
+        "image": jnp.asarray(rng.normal(size=(n, img, img, 3)), jnp.float32),
+        "text_ids": jnp.asarray(
+            rng.integers(3, cfg.opt.vocab_size, size=(n, s)), jnp.int32),
+        "text_mask": jnp.asarray(mask),
+    }
+    losses = blip2_opt.per_sample_loss(cfg, params, b)
+    assert losses.shape == (n,)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+
+    adapter = blip2_opt.make_adapter(cfg, params)
+    # plan loss equals full loss
+    plan = adapter.build_mezo_plans(params, b)[0]
+    np.testing.assert_allclose(
+        np.asarray(plan.loss_fn(params, plan.data)), np.asarray(losses),
+        rtol=1e-5, atol=1e-5)
+
+    pruner = WandaPruner(
+        adapter, b, num_microbatches=2,
+        stack_specs={
+            "visual_encoder.blocks": f"{cfg.vit.depth}-0.5-1.0-1.0",
+            "opt_model.model.decoder.layers": f"{cfg.opt.num_layers}-0.5-1.0-1.0",
+        },
+        sparsity_ratio_granularity="block", max_sparsity_per_layer=0.7,
+        score_method="MEZO-GradOnly_sum", num_data_first_stage=4,
+        verbose=False,
+    )
+    _, sd = pruner.prune()
+    assert "opt_model.model.decoder.layers.1.fc1.weight" in sd
+    assert 0.35 <= pruner.check_sparsity() <= 0.65
