@@ -428,6 +428,104 @@ def convert_blip2(state: StateDict, cfg, dtype=jnp.float32,
     }
 
 
+def convert_opt(state: StateDict, cfg, prefix: str = "model.decoder.",
+                dtype=jnp.float32) -> PyTree:
+    """HF OPT state_dict -> models/opt.py pytree (pre-LN, tied lm_head)."""
+    L = cfg.num_layers
+    p = prefix + "layers.{i}."
+
+    def attn(k):
+        return {
+            "kernel": _stack_t(state, p + f"self_attn.{k}_proj.weight", L),
+            "bias": _stack(state, p + f"self_attn.{k}_proj.bias", L),
+        }
+
+    out = {
+        "embed_tokens": state[prefix + "embed_tokens.weight"],
+        "embed_positions": state[prefix + "embed_positions.weight"],
+        "layers": {
+            "ln1": {"scale": _stack(state, p + "self_attn_layer_norm.weight", L),
+                    "bias": _stack(state, p + "self_attn_layer_norm.bias", L)},
+            "attn": {"q": attn("q"), "k": attn("k"), "v": attn("v"),
+                     "o": {"kernel": _stack_t(state, p + "self_attn.out_proj.weight", L),
+                           "bias": _stack(state, p + "self_attn.out_proj.bias", L)}},
+            "ln2": {"scale": _stack(state, p + "final_layer_norm.weight", L),
+                    "bias": _stack(state, p + "final_layer_norm.bias", L)},
+            "mlp": {
+                "fc1": {"kernel": _stack_t(state, p + "fc1.weight", L),
+                        "bias": _stack(state, p + "fc1.bias", L)},
+                "fc2": {"kernel": _stack_t(state, p + "fc2.weight", L),
+                        "bias": _stack(state, p + "fc2.bias", L)},
+            },
+        },
+        "final_ln": {"scale": state[prefix + "final_layer_norm.weight"],
+                     "bias": state[prefix + "final_layer_norm.bias"]},
+    }
+    return _cast(out, dtype)
+
+
+def convert_bert_stack(state: StateDict, cfg, prefix: str,
+                       dtype=jnp.float32) -> PyTree:
+    """BLIP med-BERT tower (``text_decoder.bert.`` / ``text_encoder.bert.``)
+    -> models/bert.py pytree. Handles cross-attention when present."""
+    L = cfg.num_layers
+    p = prefix + "encoder.layer.{i}."
+
+    def dense(sub):
+        return {"kernel": _stack_t(state, p + sub + ".weight", L),
+                "bias": _stack(state, p + sub + ".bias", L)}
+
+    def ln(sub):
+        return {"scale": _stack(state, p + sub + ".weight", L),
+                "bias": _stack(state, p + sub + ".bias", L)}
+
+    blocks = {
+        "attn": {
+            "query": dense("attention.self.query"),
+            "key": dense("attention.self.key"),
+            "value": dense("attention.self.value"),
+            "out": dense("attention.output.dense"),
+            "ln": ln("attention.output.LayerNorm"),
+        },
+        "ffn": {
+            "intermediate": dense("intermediate.dense"),
+            "out": dense("output.dense"),
+            "ln": ln("output.LayerNorm"),
+        },
+    }
+    if cfg.add_cross_attention:
+        blocks["cross"] = {
+            "query": dense("crossattention.self.query"),
+            "key": dense("crossattention.self.key"),
+            "value": dense("crossattention.self.value"),
+            "out": dense("crossattention.output.dense"),
+            "ln": ln("crossattention.output.LayerNorm"),
+        }
+    out = {
+        "embeddings": {
+            "word": state[prefix + "embeddings.word_embeddings.weight"],
+            "position": state[prefix + "embeddings.position_embeddings.weight"],
+            "ln": {"scale": state[prefix + "embeddings.LayerNorm.weight"],
+                   "bias": state[prefix + "embeddings.LayerNorm.bias"]},
+        },
+        "blocks": blocks,
+    }
+    cls_prefix = prefix.replace("bert.", "cls.")
+    if cls_prefix + "predictions.transform.dense.weight" in state:
+        out["cls"] = {
+            "transform": {
+                "kernel": state[cls_prefix + "predictions.transform.dense.weight"].T,
+                "bias": state[cls_prefix + "predictions.transform.dense.bias"],
+            },
+            "transform_ln": {
+                "scale": state[cls_prefix + "predictions.transform.LayerNorm.weight"],
+                "bias": state[cls_prefix + "predictions.transform.LayerNorm.bias"],
+            },
+            "decoder_bias": state[cls_prefix + "predictions.bias"],
+        }
+    return _cast(out, dtype)
+
+
 def remap_eva_clip_to_blip2(state: StateDict) -> StateDict:
     """``visual.`` -> ``visual_encoder.`` cross-model key remap
     (wanda_pruner.py:570-585)."""

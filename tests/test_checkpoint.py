@@ -172,3 +172,42 @@ def test_llama_roundtrip():
     for x, y in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+
+
+def test_bert_stack_converter_roundtrip_via_hf():
+    """Convert a HF BertModel tower and check hidden-state parity on the
+    no-cross path (the med.py text tower without cross-attention)."""
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel
+
+    hf_cfg = HFBertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=32, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    hf = BertModel(hf_cfg, add_pooling_layer=False).eval()
+
+    from ecoflap_tpu.models import bert as bert_mod
+    from ecoflap_tpu.utils.checkpoint import convert_bert_stack
+
+    cfg = bert_mod.BertConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=48, max_position=32,
+    )
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_bert_stack(state, cfg, prefix="")
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 64, size=(2, 7))
+    with torch.no_grad():
+        # HF adds token_type embeddings; emulate type-0 by folding into word
+        tt = hf.embeddings.token_type_embeddings.weight[0].numpy()
+    params["embeddings"]["word"] = params["embeddings"]["word"] + tt
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).last_hidden_state.numpy()
+    ours = np.asarray(
+        bert_mod.forward(cfg, params, jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)

@@ -26,46 +26,9 @@ def test_opt_logits_match_hf():
 
     cfg = opt.tiny_config(d_ff=48)
     state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    from ecoflap_tpu.utils.checkpoint import convert_opt
 
-    # convert inline (layout identical to llama converter patterns)
-    L = cfg.num_layers
-    p = "model.decoder.layers.{i}."
-
-    def stack_t(fmt):
-        return np.stack([state[fmt.format(i=i)].T for i in range(L)])
-
-    def stack(fmt):
-        return np.stack([state[fmt.format(i=i)] for i in range(L)])
-
-    params = {
-        "embed_tokens": jnp.asarray(state["model.decoder.embed_tokens.weight"]),
-        "embed_positions": jnp.asarray(
-            state["model.decoder.embed_positions.weight"]),
-        "layers": {
-            "ln1": {"scale": jnp.asarray(stack(p + "self_attn_layer_norm.weight")),
-                    "bias": jnp.asarray(stack(p + "self_attn_layer_norm.bias"))},
-            "attn": {
-                "q": {"kernel": jnp.asarray(stack_t(p + "self_attn.q_proj.weight")),
-                      "bias": jnp.asarray(stack(p + "self_attn.q_proj.bias"))},
-                "k": {"kernel": jnp.asarray(stack_t(p + "self_attn.k_proj.weight")),
-                      "bias": jnp.asarray(stack(p + "self_attn.k_proj.bias"))},
-                "v": {"kernel": jnp.asarray(stack_t(p + "self_attn.v_proj.weight")),
-                      "bias": jnp.asarray(stack(p + "self_attn.v_proj.bias"))},
-                "o": {"kernel": jnp.asarray(stack_t(p + "self_attn.out_proj.weight")),
-                      "bias": jnp.asarray(stack(p + "self_attn.out_proj.bias"))},
-            },
-            "ln2": {"scale": jnp.asarray(stack(p + "final_layer_norm.weight")),
-                    "bias": jnp.asarray(stack(p + "final_layer_norm.bias"))},
-            "mlp": {
-                "fc1": {"kernel": jnp.asarray(stack_t(p + "fc1.weight")),
-                        "bias": jnp.asarray(stack(p + "fc1.bias"))},
-                "fc2": {"kernel": jnp.asarray(stack_t(p + "fc2.weight")),
-                        "bias": jnp.asarray(stack(p + "fc2.bias"))},
-            },
-        },
-        "final_ln": {"scale": jnp.asarray(state["model.decoder.final_layer_norm.weight"]),
-                     "bias": jnp.asarray(state["model.decoder.final_layer_norm.bias"])},
-    }
+    params = convert_opt(state, cfg)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(3, 64, size=(2, 9))
