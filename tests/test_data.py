@@ -104,3 +104,14 @@ def test_registry_names():
     for name in ("blip_image_eval", "blip2_image_train", "clip_image_eval",
                  "blip_caption", "blip_question"):
         assert registry.get("processor", name) is not None
+
+
+def test_prompt_builder():
+    from ecoflap_tpu.data.prompts import SIMPLE_TEMPLATE, build_prompts
+
+    prompts = build_prompts(["dog", "tabby_cat"], SIMPLE_TEMPLATE)
+    assert prompts == ["a photo of a dog.", "a photo of a tabby cat."]
+    from ecoflap_tpu.data.prompts import IMAGENET_TEMPLATES_SUBSET
+
+    p7 = build_prompts(["dog"], IMAGENET_TEMPLATES_SUBSET)
+    assert len(p7) == 7 and all("dog" in p for p in p7)
