@@ -163,11 +163,13 @@ def block_forward(
         rep = h_n // kv_n
         kh = jnp.repeat(kh, rep, axis=1)
         vh = jnp.repeat(vh, rep, axis=1)
+    score_dtype = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh * (dh**-0.5), kh, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", qh * (dh**-0.5), kh,
+        preferred_element_type=score_dtype,
     )
-    scores = scores + bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    scores = scores + bias.astype(score_dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     o = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, h_n * dh).astype(x.dtype)
     collect_stats(stats, "self_attn.o_proj", o, collect)

@@ -255,9 +255,11 @@ def t5_attention(
     k = jnp.dot(kv, ap["k"]["kernel"], preferred_element_type=jnp.float32).astype(x.dtype)
     v = jnp.dot(kv, ap["v"]["kernel"], preferred_element_type=jnp.float32).astype(x.dtype)
     qh, kh, vh = _heads(q, cfg.num_heads), _heads(k, cfg.num_heads), _heads(v, cfg.num_heads)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
-    scores = scores + bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    score_dtype = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=score_dtype)
+    scores = scores + bias.astype(score_dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     o = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
     b, h, s, dh = o.shape
     o = o.transpose(0, 2, 1, 3).reshape(b, s, h * dh).astype(x.dtype)
