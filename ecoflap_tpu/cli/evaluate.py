@@ -147,6 +147,105 @@ def _synthetic_eval(args) -> Dict[str, Any]:
     raise NotImplementedError(f"{args.model}/{args.task} synthetic eval")
 
 
+def _real_eval(args) -> Dict[str, Any]:
+    """File-driven evaluation: LAVIS-style annotations via the dataset
+    builders (data/datasets.py), reference image processors, jitted generate.
+    """
+    from ecoflap_tpu.core.registry import registry
+    from ecoflap_tpu.data.calibration import HashTokenizer, load_t5_tokenizer
+    from ecoflap_tpu.data.datasets import batch_iterator
+    from ecoflap_tpu.data.processors import ImageEvalProcessor
+    from ecoflap_tpu.models.generation import GenerateConfig
+    from ecoflap_tpu.runners.runner import Runner
+    from ecoflap_tpu.tasks.captioning import CaptionTask
+    from ecoflap_tpu.tasks.vqa import GQATask, VQATask
+
+    runner = Runner(args.output_dir, f"eval_{args.model}_{args.task}")
+
+    if args.model == "blip2_t5" and args.task in ("vqa", "gqa", "captioning"):
+        from ecoflap_tpu.models import blip2
+        from ecoflap_tpu.utils import checkpoint as ck
+
+        cfg = (blip2.blip2_flant5xl() if args.model_scale == "full"
+               else blip2.tiny_config())
+        if args.checkpoint and args.checkpoint.endswith(".pth"):
+            params = ck.convert_blip2(
+                ck.load_torch_checkpoint(args.checkpoint), cfg,
+                dtype=jnp.bfloat16)
+        else:
+            params = blip2.init_params(cfg, jax.random.PRNGKey(args.seed))
+            if args.checkpoint:
+                params = Runner(args.output_dir).load_checkpoint(
+                    params, args.checkpoint)
+        tok = load_t5_tokenizer(vocab_size=cfg.t5.vocab_size)
+        gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
+                             num_beams=args.num_beams,
+                             length_penalty=args.length_penalty)
+        vis = ImageEvalProcessor(image_size=cfg.vit.img_size)
+        prompt = "Question: {} Short answer:"
+
+        def predict_fn(batch):
+            texts = [prompt.format(q) for q in batch["text_input"]]
+            ids, mask = tok(texts, max_length=32)
+            out = blip2.generate(cfg, params, jnp.asarray(batch["image"]),
+                                 jnp.asarray(ids), jnp.asarray(mask), gen)
+            return [tok.decode(list(map(int, row))) for row in np.asarray(out)]
+
+        name = {"vqa": "coco_vqa", "gqa": "gqa",
+                "captioning": "coco_caption"}[args.task]
+        ds = registry.get("builder", name)(
+            {"vis_root": args.vis_root, "ann_paths": [args.ann]},
+            vis_processor=vis)
+        batches = list(batch_iterator(ds, args.batch_size, drop_last=True))
+        if args.task == "captioning":
+            def gen_fn(batch):
+                ids, mask = tok([""] * len(batch["image"]), max_length=4)
+                out = blip2.generate(cfg, params, jnp.asarray(batch["image"]),
+                                     jnp.asarray(ids), jnp.asarray(mask), gen)
+                return [tok.decode(list(map(int, r))) for r in np.asarray(out)]
+            task = CaptionTask(gen_fn)
+        else:
+            task = GQATask(predict_fn) if args.task == "gqa" else VQATask(predict_fn)
+        return runner.evaluate(task, batches)
+
+    if args.model in ("clip", "eva_clip") and args.task == "classification":
+        from ecoflap_tpu.data.prompts import (
+            IMAGENET_TEMPLATES_SUBSET,
+            build_prompts,
+            load_classnames,
+        )
+        from ecoflap_tpu.models import clip as clip_mod
+        from ecoflap_tpu.tasks.classification import ClassificationTask
+
+        cfg = ((clip_mod.eva_clip_g() if args.model == "eva_clip"
+                else clip_mod.vit_b16()) if args.model_scale == "full"
+               else clip_mod.tiny_config(eva=args.model == "eva_clip"))
+        params = clip_mod.init_params(cfg, jax.random.PRNGKey(args.seed))
+        if args.checkpoint:
+            params = Runner(args.output_dir).load_checkpoint(params,
+                                                             args.checkpoint)
+        img = (cfg.eva_visual.img_size if cfg.eva_visual
+               else cfg.visual.img_size)
+        vis = ImageEvalProcessor(image_size=img)
+        ds = registry.get("builder", "imagenet")(
+            {"vis_root": args.vis_root}, vis_processor=vis)
+        tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
+        prompts = build_prompts(ds.classnames, IMAGENET_TEMPLATES_SUBSET)
+        ids, _ = tok(prompts, max_length=cfg.text.context_length)
+        classifier = clip_mod.zero_shot_classifier(
+            cfg, params, jnp.asarray(ids), len(ds.classnames))
+
+        def predict_fn(batch):
+            return clip_mod.predict(cfg, params, jnp.asarray(batch["image"]),
+                                    classifier)
+
+        task = ClassificationTask(predict_fn)
+        return runner.evaluate(
+            task, list(batch_iterator(ds, args.batch_size, drop_last=True)))
+
+    raise NotImplementedError(f"{args.model}/{args.task} real-data eval")
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
@@ -154,7 +253,10 @@ def main(argv=None):
     from ecoflap_tpu.parallel.dist import init_distributed_mode
 
     init_distributed_mode()
-    metrics = _synthetic_eval(args)  # real-data path goes through builders
+    if args.synthetic or not (args.ann or args.vis_root):
+        metrics = _synthetic_eval(args)
+    else:
+        metrics = _real_eval(args)
     print(json.dumps(metrics))
     return metrics
 
