@@ -170,3 +170,35 @@ def itm_score(cfg: Blip2QformerConfig, params: PyTree, image_embeds, ids,
                       preferred_element_type=jnp.float32)
               + params["itm_head"]["bias"])
     return jnp.mean(logits[..., 1], axis=-1)
+
+
+def compute_sim_matrix(cfg: Blip2QformerConfig, params: PyTree, image_embeds,
+                       ids, mask, k_test: int = 128):
+    """Reference ``compute_sim_matrix`` (blip2.py:116-229): ITC first stage,
+    then ITM re-scores each image's top-k text candidates (and symmetric for
+    texts). Returns (score_i2t, score_t2i) with ITM-refined scores on the
+    top-k and -inf elsewhere, like the reference's score_matrix fill."""
+    import numpy as np
+
+    sim = itc_sim_matrix(cfg, params, image_embeds, ids, mask)  # (N, M)
+    sim_np = np.asarray(sim)
+    n, m = sim_np.shape
+    k = min(k_test, m)
+
+    score_i2t = np.full((n, m), -np.inf, np.float32)
+    for i in range(n):
+        topk = np.argsort(-sim_np[i])[:k]
+        scores = itm_score(cfg, params,
+                           jnp.repeat(image_embeds[i:i + 1], k, axis=0),
+                           ids[topk], mask[topk])
+        score_i2t[i, topk] = np.asarray(scores) + sim_np[i, topk]
+
+    kt = min(k_test, n)
+    score_t2i = np.full((m, n), -np.inf, np.float32)
+    for j in range(m):
+        topk = np.argsort(-sim_np[:, j])[:kt]
+        scores = itm_score(cfg, params, image_embeds[topk],
+                           jnp.repeat(ids[j:j + 1], kt, axis=0),
+                           jnp.repeat(mask[j:j + 1], kt, axis=0))
+        score_t2i[j, topk] = np.asarray(scores) + sim_np[topk, j]
+    return score_i2t, score_t2i

@@ -54,3 +54,25 @@ def test_stage1_itc_itm():
     # the ITM joint path must actually use the image: changing it moves scores
     score2 = q1.itm_score(cfg, params, img + 1.0, ids[:n], mask[:n])
     assert float(jnp.abs(score - score2).max()) > 1e-6
+
+
+def test_compute_sim_matrix_retrieval():
+    import jax.numpy as jnp
+
+    from ecoflap_tpu.models import blip2_qformer as q1
+    from ecoflap_tpu.tasks.retrieval import score_retrieval
+
+    cfg = q1.tiny_config()
+    params = q1.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n, s = 4, 7
+    img = jnp.asarray(
+        rng.normal(size=(n, 6, cfg.qformer.encoder_width)), jnp.float32)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, size=(n, s)), jnp.int32)
+    mask = jnp.ones((n, s), jnp.int32)
+    s_i2t, s_t2i = q1.compute_sim_matrix(cfg, params, img, ids, mask, k_test=2)
+    assert s_i2t.shape == (n, n) and s_t2i.shape == (n, n)
+    # top-k filled, rest -inf
+    assert np.isfinite(s_i2t).sum(axis=1).max() <= 2
+    metrics = score_retrieval(np.where(np.isfinite(s_i2t), s_i2t, -1e9))
+    assert "agg_metrics" in metrics
