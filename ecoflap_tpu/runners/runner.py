@@ -164,6 +164,26 @@ class TrainRunner(Runner):
         return best_params
 
 
+class IterTrainRunner(TrainRunner):
+    """Iteration-based runner (RunnerIter, lavis/runners/runner_iter.py):
+    trains in fixed-size inner "epochs" of ``iters_per_inner_epoch`` steps
+    over an infinite iterator instead of dataset epochs."""
+
+    def __init__(self, output_dir: str = "output", job_id: str = "job",
+                 max_iters: int = 100, iters_per_inner_epoch: int = 10):
+        super().__init__(output_dir, job_id,
+                         max_epoch=max(1, max_iters // iters_per_inner_epoch))
+        self.iters_per_inner_epoch = iters_per_inner_epoch
+
+    def train_iters(self, loss_fn, params, infinite_batches, **kw):
+        it = iter(infinite_batches)
+
+        def epoch_batches(_epoch):
+            return [next(it) for _ in range(self.iters_per_inner_epoch)]
+
+        return self.train(loss_fn, params, epoch_batches, **kw)
+
+
 def global_sparsity(params: PyTree) -> float:
     """Σ(p==0)/Σnumel over all leaves (evaluate_blip.py:432-436)."""
     import jax.numpy as jnp

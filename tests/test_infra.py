@@ -154,3 +154,30 @@ def test_train_runner_best_ckpt(tmp_path):
     l0 = float(jnp.mean(loss_fn(params, {"input_ids": ids})))
     l1 = float(jnp.mean(loss_fn(best, {"input_ids": ids})))
     assert l1 < l0
+
+
+def test_iter_train_runner(tmp_path):
+    import itertools
+
+    import optax
+
+    from ecoflap_tpu.data.loaders import IterLoader
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.runners.runner import IterTrainRunner
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, size=(4, 8)), jnp.int32)
+
+    def loss_fn(p, batch):
+        return llama.per_sample_loss(cfg, p, batch["input_ids"])
+
+    loader = IterLoader(lambda: iter([{"input_ids": ids}] * 2))
+    r = IterTrainRunner(str(tmp_path), "it", max_iters=6,
+                        iters_per_inner_epoch=3)
+    best = r.train_iters(loss_fn, params, loader, optimizer=optax.adam(1e-2))
+    assert r.best_epoch >= 0
+    l0 = float(jnp.mean(loss_fn(params, {"input_ids": ids})))
+    l1 = float(jnp.mean(loss_fn(best, {"input_ids": ids})))
+    assert l1 < l0
