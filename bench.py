@@ -28,10 +28,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compilation cache: repeated bench runs (and the driver's) skip
-# the multi-minute XLA compiles of the big chunked-loss programs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ecoflap_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# Persistent compilation cache is DISABLED by default: through the axon
+# tunnel the big chunked-loss executables never reload from it, and the cache
+# writes stall the first program execution for minutes. Opt in with
+# ECOFLAP_JAX_CACHE=1 on backends where serialization works.
+if os.environ.get("ECOFLAP_JAX_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ecoflap_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 BASELINE_S = 6114.9
 
@@ -62,7 +65,12 @@ def build(preset: str):
         )
         dtype = jnp.float32
     log(f"init params ({preset}, {dtype.__name__}) ...")
-    params = blip2.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    # one jitted init program: eager per-leaf RNG ops would churn ~3x the
+    # param bytes through the allocator before the run even starts
+    params = jax.jit(
+        lambda key: blip2.init_params(cfg, key, dtype=dtype)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"  {n_params/1e9:.2f}B params")
     return cfg, params
@@ -90,10 +98,12 @@ def main() -> None:
     from ecoflap_tpu.models import blip2
     from ecoflap_tpu.pruning.pruners import WandaPruner
 
+    t_start = time.time()
     cfg, params = build(preset)
     dtype = jnp.bfloat16 if preset == "xl" else jnp.float32
     batch = synthetic_batch(cfg, n_samples, dtype=dtype)
     adapter = blip2.make_adapter(cfg, params)
+    log(f"setup done at +{time.time() - t_start:.1f}s")
 
     log("running ECoFLaP zeroth-order + Wanda @0.5 ...")
     t0 = time.time()

@@ -17,6 +17,7 @@ Functional rebuild of ``LayerSparsity``
 
 from __future__ import annotations
 
+import time
 from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Union
 
 import jax
@@ -111,7 +112,11 @@ def compute_layer_sparsity(
             noise_mode=noise_mode,
             loss_plans=loss_plans,
             eval_chunks=eval_chunks,
-            progress=(lambda i, n: print(i, n)) if verbose else None,
+            progress=(
+                (lambda i, n, _t0=time.time():
+                 print(f"{i} {n} +{time.time() - _t0:.1f}s"))
+                if verbose else None
+            ),
         )
         importance_sums = mezo_group_sums(
             params, scored_targets, leaf_scores, score_compute
