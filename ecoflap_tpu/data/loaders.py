@@ -11,8 +11,7 @@ Reference (LAVIS/lavis/datasets/datasets/dataloader_utils.py:15-127):
 
 from __future__ import annotations
 
-import itertools
-from typing import Any, Callable, Iterable, Iterator, List, Optional, Sequence
+from typing import Callable, Iterable, Optional, Sequence
 
 import numpy as np
 

@@ -27,7 +27,7 @@ from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ecoflap_tpu.pruning.adapter import ModelAdapter, StackSpec
+from ecoflap_tpu.pruning.adapter import StackSpec
 from ecoflap_tpu.pruning.sparsegpt import sparsegpt_prune_weight
 from ecoflap_tpu.pruning.wanda import (
     apply_mask,

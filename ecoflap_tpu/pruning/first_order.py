@@ -24,7 +24,6 @@ from typing import Any, Callable, Dict, List, Sequence
 import jax
 import jax.numpy as jnp
 
-from ecoflap_tpu.core.pytree import flatten_named, get_leaf, set_leaf
 from ecoflap_tpu.pruning.targets import WeightTarget
 
 PyTree = Any

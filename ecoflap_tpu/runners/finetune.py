@@ -12,7 +12,6 @@ XLA's psum, masks shard like their weights so masking is local.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
