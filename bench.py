@@ -93,10 +93,13 @@ def synthetic_batch(cfg, n, src=32, tgt=32, dtype=jnp.bfloat16):
 def main() -> None:
     preset = os.environ.get("ECOFLAP_BENCH_PRESET", "xl")
     n_samples = int(os.environ.get("ECOFLAP_BENCH_SAMPLES", "128"))
+    # "zeroth" (headline: MeZO coarse + Wanda fine, baseline 6114.9s) |
+    # "wanda" (uniform, 240.2s) | "sparsegpt" (uniform, 802.6s)
+    method = os.environ.get("ECOFLAP_BENCH_METHOD", "zeroth")
     batch_size = 8  # reference calib bs (scripts/blip2/ecoflap_zeroth.py)
 
     from ecoflap_tpu.models import blip2
-    from ecoflap_tpu.pruning.pruners import WandaPruner
+    from ecoflap_tpu.pruning.pruners import SparseGPTPruner, WandaPruner
 
     t_start = time.time()
     cfg, params = build(preset)
@@ -105,23 +108,34 @@ def main() -> None:
     adapter = blip2.make_adapter(cfg, params)
     log(f"setup done at +{time.time() - t_start:.1f}s")
 
-    log("running ECoFLaP zeroth-order + Wanda @0.5 ...")
-    t0 = time.time()
-    pruner = WandaPruner(
-        adapter, batch,
+    baselines = {"zeroth": 6114.9, "wanda": 240.2, "sparsegpt": 802.6}
+    baseline_s = baselines[method]
+    specs = {
+        "visual_encoder.blocks": f"{cfg.vit.depth}-0.5-1.0-1.0",
+        "t5_model.encoder.block": f"{cfg.t5.num_layers}-0.5-1.0-1.0",
+        "t5_model.decoder.block": f"{cfg.t5.num_decoder_layers}-0.5-1.0-1.0",
+    }
+    common = dict(
         num_microbatches=max(1, n_samples // batch_size),
-        stack_specs={
-            "visual_encoder.blocks": f"{cfg.vit.depth}-0.5-1.0-1.0",
-            "t5_model.encoder.block": f"{cfg.t5.num_layers}-0.5-1.0-1.0",
-            "t5_model.decoder.block": f"{cfg.t5.num_decoder_layers}-0.5-1.0-1.0",
-        },
-        sparsity_ratio_granularity="block",
-        max_sparsity_per_layer=0.6,
-        score_method="MEZO-GradOnly_sum",
-        num_data_first_stage=n_samples,
+        stack_specs=specs,
         eval_chunk_size=int(os.environ.get("ECOFLAP_EVAL_CHUNK", "32")),
         verbose=True,
     )
+    log(f"running {method} @0.5 ...")
+    t0 = time.time()
+    if method == "zeroth":
+        pruner = WandaPruner(
+            adapter, batch,
+            sparsity_ratio_granularity="block",
+            max_sparsity_per_layer=0.6,
+            score_method="MEZO-GradOnly_sum",
+            num_data_first_stage=n_samples,
+            **common,
+        )
+    elif method == "wanda":
+        pruner = WandaPruner(adapter, batch, **common)
+    else:
+        pruner = SparseGPTPruner(adapter, batch, **common)
     # progress prints go to stderr; stdout carries ONLY the final JSON line
     import contextlib
 
@@ -135,10 +149,10 @@ def main() -> None:
         f"groups {len(sparsity_dict) if sparsity_dict else 0}")
 
     print(json.dumps({
-        "metric": "ecoflap_zeroth_prune_wall_s",
+        "metric": f"ecoflap_{method}_prune_wall_s",
         "value": round(wall, 2),
         "unit": "s",
-        "vs_baseline": round(wall / BASELINE_S, 4),
+        "vs_baseline": round(wall / baseline_s, 4),
     }))
 
 
