@@ -227,14 +227,33 @@ class TwoStagePruner:
         return params, global_dict
 
     def check_sparsity(self) -> float:
+        """Global zero-fraction over prunable weights. Reduces whole stacked
+        leaves inside one jitted program per leaf — per-block slicing would
+        copy the entire stack and exhaust the device allocation budget right
+        after a successful prune."""
+        from ecoflap_tpu.core.pytree import get_leaf
+
+        count_zeros = jax.jit(lambda l: jnp.sum(l == 0))
         count = total = 0
         for stack in self.adapter.stacks:
-            for i in range(stack.num_blocks):
-                bp = stack.get_block(self.adapter.params, i)
+            if stack.blocks_path is not None:
+                blocks = get_leaf(self.adapter.params, stack.blocks_path)
+                seen = set()
                 for local in stack.linear_names:
-                    w = stack.weight_get(bp, local)
-                    count += int(jnp.sum(w == 0))
-                    total += int(w.size)
+                    path = (stack.local_to_path or {}).get(local, local)
+                    if path in seen:
+                        continue
+                    seen.add(path)
+                    leaf = get_leaf(blocks, f"{path}.kernel")
+                    count += int(count_zeros(leaf))
+                    total += int(leaf.size)
+            else:
+                for i in range(stack.num_blocks):
+                    bp = stack.get_block(self.adapter.params, i)
+                    for local in stack.linear_names:
+                        w = stack.weight_get(bp, local)
+                        count += int(count_zeros(w))
+                        total += int(w.size)
         return count / max(total, 1)
 
 
