@@ -141,6 +141,7 @@ def _stream_prune_stack(
     sparsity_ratio: Mapping[str, float],
     num_chunks: int,
     verbose: bool,
+    counters: Optional[Dict[str, int]] = None,
 ) -> PyTree:
     """Shared layer-streaming loop with a DONATED per-block prune program.
 
@@ -187,13 +188,20 @@ def _stream_prune_stack(
         @functools.partial(jax.jit, donate_argnums=(0,))
         def prune_block(blocks, stats, n_seq, ratios, i):
             new = blocks
+            zeros = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
+                              else jnp.int32)
+            numel = 0
             for local in stack.linear_names:
                 path = f"{l2p.get(local, local)}.kernel"
                 full = get_leaf(new, path)
                 w = full[i].T.astype(jnp.float32)
                 w2 = prune_weight_fn(w, stats[local], n_seq, ratios[local])
+                # measured sparsity accumulates IN-program: a post-prune
+                # counting pass would allocate against an exhausted budget
+                zeros = zeros + jnp.sum(w2 == 0).astype(zeros.dtype)
+                numel += w2.size
                 new = set_leaf(new, path, full.at[i].set(w2.T.astype(full.dtype)))
-            return new
+            return new, (zeros, numel)
 
         # Defensive copy ONCE per stack: the donated per-block program then
         # updates these copies in place, and the caller's original tree stays
@@ -210,8 +218,11 @@ def _stream_prune_stack(
                 local: jnp.float32(sparsity_ratio[stack.weight_key(i, local)])
                 for local in stack.linear_names
             }
-            blocks = prune_block(blocks, stats, n_seq, ratios,
-                                 jnp.asarray(i, jnp.int32))
+            blocks, (zeros, numel) = prune_block(
+                blocks, stats, n_seq, ratios, jnp.asarray(i, jnp.int32))
+            if counters is not None:
+                counters["zeros"] = counters.get("zeros", 0) + int(zeros)
+                counters["total"] = counters.get("total", 0) + int(numel)
             bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
             x, _ = fwd(bp, x, cache)
             x.block_until_ready()  # bound dispatch depth
@@ -247,6 +258,7 @@ def prune_stack_wanda(
     prune_m: int = 0,
     num_chunks: int = 1,
     verbose: bool = True,
+    counters: Optional[Dict[str, int]] = None,
 ) -> PyTree:
     """Wanda-prune one stack, streaming calibration activations once."""
 
@@ -262,7 +274,7 @@ def prune_stack_wanda(
 
     return _stream_prune_stack(
         stack, params, batch, "wanda", prune_weight, sparsity_ratio,
-        num_chunks, verbose,
+        num_chunks, verbose, counters,
     )
 
 
@@ -277,6 +289,7 @@ def prune_stack_sparsegpt(
     prune_m: int = 0,
     num_chunks: int = 1,
     verbose: bool = True,
+    counters: Optional[Dict[str, int]] = None,
 ) -> PyTree:
     """SparseGPT-prune one stack (Hessian per linear, OBS column sweep)."""
 
@@ -289,7 +302,7 @@ def prune_stack_sparsegpt(
 
     return _stream_prune_stack(
         stack, params, batch, "hessian", prune_weight, sparsity_ratio,
-        num_chunks, verbose,
+        num_chunks, verbose, counters,
     )
 
 

@@ -170,6 +170,7 @@ class TwoStagePruner:
                 prune_m=self.prune_m,
                 num_chunks=self._eval_chunks(self.data) or self.num_microbatches,
                 verbose=self.verbose,
+                counters=self._counters,
             )
         if self.local_method == "sparsegpt":
             return prune_stack_sparsegpt(
@@ -181,6 +182,7 @@ class TwoStagePruner:
                 prune_m=self.prune_m,
                 num_chunks=self._eval_chunks(self.data) or self.num_microbatches,
                 verbose=self.verbose,
+                counters=self._counters,
             )
         raise ValueError(self.local_method)
 
@@ -189,6 +191,7 @@ class TwoStagePruner:
         contract (wanda_pruner.py:799-876)."""
         t0 = time.time()
         params = self.adapter.params
+        self._counters: Dict[str, int] = {}
 
         # Coarse stage runs once over the union of stacks when granularity is
         # requested (blipt5 orchestrator, wanda_pruner.py:803-812).
@@ -227,10 +230,13 @@ class TwoStagePruner:
         return params, global_dict
 
     def check_sparsity(self) -> float:
-        """Global zero-fraction over prunable weights. Reduces whole stacked
-        leaves inside one jitted program per leaf — per-block slicing would
-        copy the entire stack and exhaust the device allocation budget right
-        after a successful prune."""
+        """Global zero-fraction over prunable weights. Prefers the counters
+        measured IN-program during the fine stage (a post-prune counting pass
+        allocates against a possibly exhausted device budget); falls back to
+        jitted whole-leaf reductions."""
+        counters = getattr(self, "_counters", None)
+        if counters and counters.get("total"):
+            return counters["zeros"] / counters["total"]
         from ecoflap_tpu.core.pytree import get_leaf
 
         count_zeros = jax.jit(lambda l: jnp.sum(l == 0))
