@@ -116,3 +116,40 @@ def test_chunking_invariance():
         same = np.mean(
             (np.asarray(outs[0]) == 0) == (np.asarray(other) == 0))
         assert same > 0.999, same
+
+
+def test_inprogram_counters_match_direct_count():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.pruning.pruners import WandaPruner
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b = {"input_ids": jnp.asarray(
+        rng.integers(2, cfg.vocab_size, size=(8, 10)), jnp.int32)}
+    adapter = llama.make_adapter(cfg, params)
+    pruner = WandaPruner(adapter, b, num_microbatches=2,
+                         prune_spec=f"{cfg.num_layers}-0.5-1.0-1.0",
+                         verbose=False)
+    pruned, _ = pruner.prune()
+    from_counters = pruner.check_sparsity()
+    # direct recount over the pruned stacked leaves
+    zeros = total = 0
+    for st in adapter.stacks:
+        from ecoflap_tpu.core.pytree import get_leaf
+
+        blocks = get_leaf(pruned, st.blocks_path)
+        seen = set()
+        for local in st.linear_names:
+            path = (st.local_to_path or {}).get(local, local)
+            if path in seen:
+                continue
+            seen.add(path)
+            leaf = np.asarray(get_leaf(blocks, f"{path}.kernel"))
+            zeros += int((leaf == 0).sum())
+            total += leaf.size
+    assert abs(from_counters - zeros / total) < 1e-9
