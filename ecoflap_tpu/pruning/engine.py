@@ -142,8 +142,15 @@ def _stream_prune_stack(
     num_chunks: int,
     verbose: bool,
     counters: Optional[Dict[str, int]] = None,
+    fuse_block_step: bool = False,
 ) -> PyTree:
     """Shared layer-streaming loop with a DONATED per-block prune program.
+
+    ``fuse_block_step=True`` additionally fuses stats-collection, pruning and
+    the re-forward into ONE donated program per block, so the per-linear
+    Hessians (SparseGPT's ~200 MB/block) never leave jit workspace —
+    eliminating the last per-block allocation against the axon tunnel's
+    cumulative budget. Off by default pending TPU validation.
 
     The per-block update donates the stack's stacked leaves to one jitted
     program (all layers of the block pruned in place), and the re-forward
@@ -185,8 +192,7 @@ def _stream_prune_stack(
     if fast:
         l2p = stack.local_to_path or {}
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def prune_block(blocks, stats, n_seq, ratios, i):
+        def _prune_block_impl(blocks, stats, n_seq, ratios, i):
             new = blocks
             zeros = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
                               else jnp.int32)
@@ -203,6 +209,20 @@ def _stream_prune_stack(
                 new = set_leaf(new, path, full.at[i].set(w2.T.astype(full.dtype)))
             return new, (zeros, numel)
 
+        prune_block = jax.jit(_prune_block_impl, donate_argnums=(0,))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def fused_step(blocks, x, cache, n_seq, ratios, i):
+            """collect -> prune -> re-forward, stats jit-internal."""
+            bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
+            _, stats = chunked_block_apply(
+                stack.block_forward, bp, x, cache, collect, num_chunks)
+            new, zn = _prune_block_impl(blocks, stats, n_seq, ratios, i)
+            bp2 = jax.tree_util.tree_map(lambda a: a[i], new)
+            x2, _ = chunked_block_apply(
+                stack.block_forward, bp2, x, cache, None, num_chunks)
+            return new, x2, zn
+
         # Defensive copy ONCE per stack: the donated per-block program then
         # updates these copies in place, and the caller's original tree stays
         # valid (one stack-sized allocation instead of one per block).
@@ -212,19 +232,23 @@ def _stream_prune_stack(
         for i in range(stack.num_blocks):
             if verbose:
                 print(f"pruning block {i} ({stack.name})")
-            bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
-            _, stats = fwd_collect(bp, x, cache)
             ratios = {
                 local: jnp.float32(sparsity_ratio[stack.weight_key(i, local)])
                 for local in stack.linear_names
             }
-            blocks, (zeros, numel) = prune_block(
-                blocks, stats, n_seq, ratios, jnp.asarray(i, jnp.int32))
+            if fuse_block_step:
+                blocks, x, (zeros, numel) = fused_step(
+                    blocks, x, cache, n_seq, ratios, jnp.asarray(i, jnp.int32))
+            else:
+                bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
+                _, stats = fwd_collect(bp, x, cache)
+                blocks, (zeros, numel) = prune_block(
+                    blocks, stats, n_seq, ratios, jnp.asarray(i, jnp.int32))
+                bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
+                x, _ = fwd(bp, x, cache)
             if counters is not None:
                 counters["zeros"] = counters.get("zeros", 0) + int(zeros)
                 counters["total"] = counters.get("total", 0) + int(numel)
-            bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
-            x, _ = fwd(bp, x, cache)
             x.block_until_ready()  # bound dispatch depth
         return set_leaf(params, stack.blocks_path, blocks)
 
@@ -259,6 +283,7 @@ def prune_stack_wanda(
     num_chunks: int = 1,
     verbose: bool = True,
     counters: Optional[Dict[str, int]] = None,
+    fuse_block_step: bool = False,
 ) -> PyTree:
     """Wanda-prune one stack, streaming calibration activations once."""
 
@@ -274,7 +299,7 @@ def prune_stack_wanda(
 
     return _stream_prune_stack(
         stack, params, batch, "wanda", prune_weight, sparsity_ratio,
-        num_chunks, verbose, counters,
+        num_chunks, verbose, counters, fuse_block_step,
     )
 
 
@@ -290,6 +315,7 @@ def prune_stack_sparsegpt(
     num_chunks: int = 1,
     verbose: bool = True,
     counters: Optional[Dict[str, int]] = None,
+    fuse_block_step: bool = False,
 ) -> PyTree:
     """SparseGPT-prune one stack (Hessian per linear, OBS column sweep)."""
 
@@ -302,7 +328,7 @@ def prune_stack_sparsegpt(
 
     return _stream_prune_stack(
         stack, params, batch, "hessian", prune_weight, sparsity_ratio,
-        num_chunks, verbose, counters,
+        num_chunks, verbose, counters, fuse_block_step,
     )
 
 

@@ -76,6 +76,7 @@ class TwoStagePruner:
         noise_mode: str = "shared",
         key: Optional[jax.Array] = None,
         eval_chunk_size: Optional[int] = None,
+        fuse_block_step: bool = False,
         verbose: bool = True,
         **kwargs: Any,
     ) -> None:
@@ -83,6 +84,7 @@ class TwoStagePruner:
         self.data = data
         self.num_microbatches = num_microbatches
         self.eval_chunk_size = eval_chunk_size
+        self.fuse_block_step = fuse_block_step
         self.prune_spec = prune_spec
         self.stack_specs = dict(stack_specs or {})
         self.sparsity_ratio_granularity = sparsity_ratio_granularity
@@ -171,6 +173,7 @@ class TwoStagePruner:
                 num_chunks=self._eval_chunks(self.data) or self.num_microbatches,
                 verbose=self.verbose,
                 counters=self._counters,
+                fuse_block_step=self.fuse_block_step,
             )
         if self.local_method == "sparsegpt":
             return prune_stack_sparsegpt(
@@ -183,6 +186,7 @@ class TwoStagePruner:
                 num_chunks=self._eval_chunks(self.data) or self.num_microbatches,
                 verbose=self.verbose,
                 counters=self._counters,
+                fuse_block_step=self.fuse_block_step,
             )
         raise ValueError(self.local_method)
 

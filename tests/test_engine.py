@@ -153,3 +153,37 @@ def test_inprogram_counters_match_direct_count():
             zeros += int((leaf == 0).sum())
             total += leaf.size
     assert abs(from_counters - zeros / total) < 1e-9
+
+
+def test_fused_block_step_matches_unfused():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.pruning.allocator import UniformSparsity
+    from ecoflap_tpu.pruning.engine import (
+        prune_stack_sparsegpt,
+        prune_stack_wanda,
+    )
+
+    cfg = llama.tiny_config()
+    base = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {"input_ids": jnp.asarray(
+        rng.integers(2, cfg.vocab_size, size=(8, 10)), jnp.int32)}
+    stack = llama.make_stack(cfg)
+
+    for fn in (prune_stack_wanda, prune_stack_sparsegpt):
+        outs = []
+        for fuse in (False, True):
+            p = jax.tree_util.tree_map(jnp.array, base)
+            counters = {}
+            pruned = fn(stack, p, batch, UniformSparsity(0.5), num_chunks=2,
+                        verbose=False, counters=counters,
+                        fuse_block_step=fuse)
+            outs.append((pruned["layers"]["attn"]["q"]["kernel"], counters))
+        np.testing.assert_allclose(
+            np.asarray(outs[0][0]), np.asarray(outs[1][0]),
+            rtol=1e-5, atol=1e-6, err_msg=fn.__name__)
+        assert outs[0][1] == outs[1][1], fn.__name__
