@@ -211,6 +211,18 @@ def _stream_prune_stack(
 
         prune_block = jax.jit(_prune_block_impl, donate_argnums=(0,))
 
+        def _prune_leaf_impl(full, stat, n_seq, ratio, i):
+            """One linear's sweep — its own small program. Keeps per-program
+            workspace at one sweep's temps: the monolithic per-block program
+            (11 OBS sweeps incl. two 5120^2 Hinv temps for the T5 decoder)
+            tips the axon tunnel's allocation budget at XL scale."""
+            w = full[i].T.astype(jnp.float32)
+            w2 = prune_weight_fn(w, stat, n_seq, ratio)
+            zeros = jnp.sum(w2 == 0).astype(jnp.int32)
+            return full.at[i].set(w2.T.astype(full.dtype)), zeros
+
+        prune_leaf = jax.jit(_prune_leaf_impl, donate_argnums=(0,))
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def fused_step(blocks, x, cache, n_seq, ratios, i):
             """collect -> prune -> re-forward, stats jit-internal."""
@@ -242,8 +254,16 @@ def _stream_prune_stack(
             else:
                 bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
                 _, stats = fwd_collect(bp, x, cache)
-                blocks, (zeros, numel) = prune_block(
-                    blocks, stats, n_seq, ratios, jnp.asarray(i, jnp.int32))
+                idx = jnp.asarray(i, jnp.int32)
+                zeros, numel = 0, 0
+                for local in stack.linear_names:
+                    path = f"{l2p.get(local, local)}.kernel"
+                    full = get_leaf(blocks, path)
+                    full, z = prune_leaf(full, stats[local], n_seq,
+                                         ratios[local], idx)
+                    blocks = set_leaf(blocks, path, full)
+                    zeros += int(z)
+                    numel += int(full.shape[1] * full.shape[2])
                 bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
                 x, _ = fwd(bp, x, cache)
             if counters is not None:
