@@ -119,7 +119,12 @@ def main() -> None:
         num_microbatches=max(1, n_samples // batch_size),
         stack_specs=specs,
         eval_chunk_size=int(os.environ.get("ECOFLAP_EVAL_CHUNK", "32")),
-        fuse_block_step=os.environ.get("ECOFLAP_FUSE", "0") == "1",
+        fuse_block_step=(
+            True if os.environ.get("ECOFLAP_FUSE", "0") == "1"
+            else os.environ["ECOFLAP_FUSE"].split(",")
+            if os.environ.get("ECOFLAP_FUSE", "0") not in ("0", "1")
+            else False
+        ),
         verbose=True,
     )
     log(f"running {method} @0.5 ...")

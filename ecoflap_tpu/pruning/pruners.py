@@ -76,7 +76,7 @@ class TwoStagePruner:
         noise_mode: str = "shared",
         key: Optional[jax.Array] = None,
         eval_chunk_size: Optional[int] = None,
-        fuse_block_step: bool = False,
+        fuse_block_step: Any = False,  # bool | list of stack names
         verbose: bool = True,
         **kwargs: Any,
     ) -> None:
@@ -173,7 +173,7 @@ class TwoStagePruner:
                 num_chunks=self._eval_chunks(self.data) or self.num_microbatches,
                 verbose=self.verbose,
                 counters=self._counters,
-                fuse_block_step=self.fuse_block_step,
+                fuse_block_step=self._fuse_for(stack),
             )
         if self.local_method == "sparsegpt":
             return prune_stack_sparsegpt(
@@ -186,9 +186,18 @@ class TwoStagePruner:
                 num_chunks=self._eval_chunks(self.data) or self.num_microbatches,
                 verbose=self.verbose,
                 counters=self._counters,
-                fuse_block_step=self.fuse_block_step,
+                fuse_block_step=self._fuse_for(stack),
             )
         raise ValueError(self.local_method)
+
+    def _fuse_for(self, stack) -> bool:
+        """fuse_block_step: bool, or a collection of stack names to fuse —
+        lets memory-tight runs fuse stat-heavy stacks (Hessians stay
+        jit-internal) while keeping small per-linear programs elsewhere."""
+        f = self.fuse_block_step
+        if isinstance(f, bool):
+            return f
+        return stack.name in f
 
     def prune(self):
         """Returns (pruned_params, sparsity_dict) — reference ``prune()``
