@@ -15,18 +15,40 @@ import os
 from typing import Optional
 
 
-def init_distributed_mode() -> bool:
+def init_distributed_mode(initialize_fn: Optional[callable] = None) -> bool:
     """Initialize multi-host JAX if the environment asks for it. Returns
-    True when running multi-process."""
+    True when running multi-process.
+
+    Env-var matrix (reference: dist_utils.py:57-90 RANK/WORLD_SIZE/SLURM):
+      * COORDINATOR_ADDRESS + NUM_PROCESSES + PROCESS_ID -> explicit init
+        (the torchrun-style rendezvous);
+      * MEGASCALE_COORDINATOR_ADDRESS or bare COORDINATOR_ADDRESS -> let
+        ``jax.distributed.initialize()`` auto-detect from env/TPU metadata;
+      * NUM_PROCESSES > 1 alone is a misconfiguration -> clear error
+        (not the reference's silent "Not using distributed mode" fallback:
+        a half-configured pod run should fail loudly, not run 1-process);
+      * nothing set -> single-process no-op.
+
+    ``initialize_fn`` injects a fake for tests; defaults to
+    ``jax.distributed.initialize``.
+    """
     import jax
 
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
-    elif int(os.environ.get("NUM_PROCESSES", "1")) > 1:
-        jax.distributed.initialize(
-            coordinator_address=os.environ["COORDINATOR_ADDRESS"],
-            num_processes=int(os.environ["NUM_PROCESSES"]),
+    init = initialize_fn or jax.distributed.initialize
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    nproc = int(os.environ.get("NUM_PROCESSES", "0") or 0)
+    if coord and nproc > 1:
+        init(
+            coordinator_address=coord,
+            num_processes=nproc,
             process_id=int(os.environ["PROCESS_ID"]),
+        )
+    elif coord or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        init()
+    elif nproc > 1:
+        raise RuntimeError(
+            "NUM_PROCESSES>1 but COORDINATOR_ADDRESS is unset; multi-process "
+            "runs need both (plus PROCESS_ID)"
         )
     multi = jax.process_count() > 1
     if multi:

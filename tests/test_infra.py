@@ -87,6 +87,57 @@ def test_dist_single_process():
     assert is_main_process()
 
 
+def test_init_distributed_env_matrix(monkeypatch):
+    """All init_distributed_mode branches (dist_utils.py:57-90 equivalent)
+    without touching real distributed state."""
+    import pytest
+
+    from ecoflap_tpu.parallel.dist import init_distributed_mode
+
+    calls = []
+
+    def fake_init(**kwargs):
+        calls.append(kwargs)
+
+    for var in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                "NUM_PROCESSES", "PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+
+    # 1) nothing set -> no-op, single-process
+    assert init_distributed_mode(fake_init) is False
+    assert calls == []
+
+    # 2) explicit torchrun-style rendezvous -> explicit kwargs
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("NUM_PROCESSES", "4")
+    monkeypatch.setenv("PROCESS_ID", "2")
+    init_distributed_mode(fake_init)
+    assert calls == [dict(coordinator_address="10.0.0.1:1234",
+                          num_processes=4, process_id=2)]
+
+    # 3) coordinator alone -> auto-detect initialize()
+    calls.clear()
+    monkeypatch.delenv("NUM_PROCESSES")
+    monkeypatch.delenv("PROCESS_ID")
+    init_distributed_mode(fake_init)
+    assert calls == [{}]
+
+    # 4) megascale auto-detect
+    calls.clear()
+    monkeypatch.delenv("COORDINATOR_ADDRESS")
+    monkeypatch.setenv("MEGASCALE_COORDINATOR_ADDRESS", "coord:8476")
+    init_distributed_mode(fake_init)
+    assert calls == [{}]
+
+    # 5) NUM_PROCESSES>1 without a coordinator -> loud failure
+    calls.clear()
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS")
+    monkeypatch.setenv("NUM_PROCESSES", "2")
+    with pytest.raises(RuntimeError, match="COORDINATOR_ADDRESS"):
+        init_distributed_mode(fake_init)
+    assert calls == []
+
+
 def test_runner_artifacts(tmp_path):
     r = Runner(str(tmp_path), "jobx")
     p = r.save_sparsity_dict({"a.weight": 0.5})
