@@ -13,8 +13,17 @@ Prints ONE JSON line:
    "vs_baseline": <value / 6114.9>}   (< 1.0 = faster than reference)
 
 Env knobs:
-  ECOFLAP_BENCH_PRESET   xl (default) | small  (small = CPU smoke)
-  ECOFLAP_BENCH_SAMPLES  calibration samples (default 128)
+  ECOFLAP_BENCH_PRESET    xl (default) | small  (small = CPU smoke)
+  ECOFLAP_BENCH_SAMPLES   calibration samples (default 128)
+  ECOFLAP_BENCH_MESH      e.g. "dp=8" or "dp=4,tp=2" — run the WHOLE pruning
+                          pipeline sharded over a (dp, tp) mesh (the v5e-8
+                          north-star path). Requires that many devices.
+  ECOFLAP_BENCH_PLATFORM  cpu | tpu — force a backend; with cpu + MESH the
+                          requested device count is provisioned virtually
+                          (xla_force_host_platform_device_count), which is how
+                          the mesh path is validated without an 8-chip slice.
+  ECOFLAP_BENCH_SAVE_DICT path — dump the coarse-stage sparsity dict as YAML
+                          (mesh run vs single-device run must be identical).
 """
 
 from __future__ import annotations
@@ -90,7 +99,35 @@ def synthetic_batch(cfg, n, src=32, tgt=32, dtype=jnp.bfloat16):
     }
 
 
+def _setup_mesh():
+    """(mesh or None) from ECOFLAP_BENCH_MESH/_PLATFORM. Must run before any
+    backend init: virtual CPU devices come from XLA_FLAGS."""
+    mesh_spec = os.environ.get("ECOFLAP_BENCH_MESH")
+    platform = os.environ.get("ECOFLAP_BENCH_PLATFORM")
+    kv = {}
+    if mesh_spec:
+        kv = {k: int(v) for k, v in
+              (part.split("=") for part in mesh_spec.split(","))}
+    if platform:
+        jax.config.update("jax_platforms", platform)
+        if platform == "cpu" and kv:
+            need = max(kv.get("dp", 1), 1) * max(kv.get("tp", 1), 1)
+            import re
+
+            flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                           os.environ.get("XLA_FLAGS", ""))
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={need}"
+            ).strip()
+    if not kv:
+        return None
+    from ecoflap_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(dp=kv.get("dp"), tp=kv.get("tp", 1))
+
+
 def main() -> None:
+    mesh = _setup_mesh()
     preset = os.environ.get("ECOFLAP_BENCH_PRESET", "xl")
     n_samples = int(os.environ.get("ECOFLAP_BENCH_SAMPLES", "128"))
     # "zeroth" (headline: MeZO coarse + Wanda fine, baseline 6114.9s) |
@@ -105,6 +142,12 @@ def main() -> None:
     cfg, params = build(preset)
     dtype = jnp.bfloat16 if preset == "xl" else jnp.float32
     batch = synthetic_batch(cfg, n_samples, dtype=dtype)
+    if mesh is not None:
+        from ecoflap_tpu.parallel.sharding import shard_batch, shard_params
+
+        log(f"sharding over mesh {dict(mesh.shape)}")
+        params = shard_params(params, mesh)
+        batch = shard_batch(batch, mesh)
     adapter = blip2.make_adapter(cfg, params)
     log(f"setup done at +{time.time() - t_start:.1f}s")
 
@@ -146,9 +189,22 @@ def main() -> None:
     import contextlib
 
     with contextlib.redirect_stdout(sys.stderr):
-        pruned, sparsity_dict = pruner.prune()
+        if mesh is not None:
+            with mesh:
+                pruned, sparsity_dict = pruner.prune()
+        else:
+            pruned, sparsity_dict = pruner.prune()
     jax.block_until_ready(jax.tree_util.tree_leaves(pruned)[0])
     wall = time.time() - t0
+
+    save_dict = os.environ.get("ECOFLAP_BENCH_SAVE_DICT")
+    if save_dict and sparsity_dict is not None:
+        import yaml
+
+        with open(save_dict, "w") as f:
+            yaml.safe_dump(
+                {k: float(v) for k, v in sparsity_dict.items()}, f)
+        log(f"sparsity dict -> {save_dict}")
 
     sparsity = pruner.check_sparsity()
     log(f"wall {wall:.1f}s  global sparsity {sparsity:.4f}  "
