@@ -52,7 +52,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build(preset: str):
+def build(preset: str, load_ckpt: str = None):
     from ecoflap_tpu.models import blip2, eva_vit, qformer
     from ecoflap_tpu.models import t5 as t5_mod
 
@@ -74,11 +74,22 @@ def build(preset: str):
         )
         dtype = jnp.float32
     log(f"init params ({preset}, {dtype.__name__}) ...")
-    # one jitted init program: eager per-leaf RNG ops would churn ~3x the
-    # param bytes through the allocator before the run even starts
-    params = jax.jit(
-        lambda key: blip2.init_params(cfg, key, dtype=dtype)
-    )(jax.random.PRNGKey(0))
+    if load_ckpt:
+        # previous isolation stage's pruned params; template via eval_shape
+        # (no throwaway init allocation against the device budget)
+        import orbax.checkpoint as ocp
+
+        shapes = jax.eval_shape(
+            lambda key: blip2.init_params(cfg, key, dtype=dtype),
+            jax.random.PRNGKey(0))
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(load_ckpt), shapes)
+    else:
+        # one jitted init program: eager per-leaf RNG ops would churn ~3x the
+        # param bytes through the allocator before the run even starts
+        params = jax.jit(
+            lambda key: blip2.init_params(cfg, key, dtype=dtype)
+        )(jax.random.PRNGKey(0))
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"  {n_params/1e9:.2f}B params")
@@ -126,7 +137,66 @@ def _setup_mesh():
     return make_mesh(dp=kv.get("dp"), tp=kv.get("tp", 1))
 
 
+STACK_ORDER = ["visual_encoder.blocks", "t5_model.encoder.block",
+               "t5_model.decoder.block"]
+
+
+def isolated_run() -> None:
+    """ECOFLAP_SPARSEGPT_ISOLATE=1: one subprocess per stack, chained through
+    orbax checkpoints. The axon tunnel's cumulative-allocation budget
+    (~40 GB) is per-PROCESS; stack isolation resets it, which is what lets
+    SparseGPT-at-XL survive the T5 decoder phase (ROUND1_NOTES.md)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    method = os.environ.get("ECOFLAP_BENCH_METHOD", "sparsegpt")
+    baselines = {"zeroth": 6114.9, "wanda": 240.2, "sparsegpt": 802.6}
+    tmp = tempfile.mkdtemp(prefix="ecoflap_isolate_")
+    t0 = time.time()
+    zeros = total = 0
+    prev = None
+    try:
+        for i, stack in enumerate(STACK_ORDER):
+            env = dict(os.environ)
+            env.pop("ECOFLAP_SPARSEGPT_ISOLATE", None)
+            env["ECOFLAP_BENCH_STACKS"] = stack
+            save = os.path.join(tmp, f"stage{i}")
+            if i < len(STACK_ORDER) - 1:
+                env["ECOFLAP_BENCH_SAVE_CKPT"] = save
+            if prev:
+                env["ECOFLAP_BENCH_LOAD_CKPT"] = prev
+            log(f"[isolate] stage {i}: {stack}")
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True)
+            sys.stderr.write(res.stderr)
+            if res.returncode != 0:
+                sys.stderr.write(res.stdout)
+                raise RuntimeError(f"stage {stack} rc={res.returncode}")
+            r = json.loads(res.stdout.strip().splitlines()[-1])
+            zeros += r.get("zeros", 0)
+            total += r.get("total", 0)
+            if prev:
+                shutil.rmtree(prev, ignore_errors=True)
+            prev = save
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    wall = time.time() - t0
+    log(f"[isolate] wall {wall:.1f}s  sparsity "
+        f"{zeros / max(total, 1):.4f}")
+    print(json.dumps({
+        "metric": f"ecoflap_{method}_prune_wall_s",
+        "value": round(wall, 2),
+        "unit": "s",
+        "vs_baseline": round(wall / baselines[method], 4),
+    }))
+
+
 def main() -> None:
+    if os.environ.get("ECOFLAP_SPARSEGPT_ISOLATE") == "1":
+        isolated_run()
+        return
     mesh = _setup_mesh()
     preset = os.environ.get("ECOFLAP_BENCH_PRESET", "xl")
     n_samples = int(os.environ.get("ECOFLAP_BENCH_SAMPLES", "128"))
@@ -139,7 +209,7 @@ def main() -> None:
     from ecoflap_tpu.pruning.pruners import SparseGPTPruner, WandaPruner
 
     t_start = time.time()
-    cfg, params = build(preset)
+    cfg, params = build(preset, os.environ.get("ECOFLAP_BENCH_LOAD_CKPT"))
     dtype = jnp.bfloat16 if preset == "xl" else jnp.float32
     batch = synthetic_batch(cfg, n_samples, dtype=dtype)
     if mesh is not None:
@@ -158,6 +228,10 @@ def main() -> None:
         "t5_model.encoder.block": f"{cfg.t5.num_layers}-0.5-1.0-1.0",
         "t5_model.decoder.block": f"{cfg.t5.num_decoder_layers}-0.5-1.0-1.0",
     }
+    stacks_env = os.environ.get("ECOFLAP_BENCH_STACKS")
+    if stacks_env:
+        keep = set(stacks_env.split(","))
+        specs = {k: (v if k in keep else None) for k, v in specs.items()}
     common = dict(
         num_microbatches=max(1, n_samples // batch_size),
         stack_specs=specs,
@@ -168,6 +242,11 @@ def main() -> None:
             if os.environ.get("ECOFLAP_FUSE", "0") not in ("0", "1")
             else False
         ),
+        # both default ON for the bench: the bench never reuses the dense
+        # params afterwards, and bf16 Hessians halve SparseGPT's stat churn
+        # (mask parity tested in tests/test_engine.py)
+        consume_params=os.environ.get("ECOFLAP_CONSUME", "1") == "1",
+        hessian_bf16=os.environ.get("ECOFLAP_HESSIAN_BF16", "1") == "1",
         verbose=True,
     )
     log(f"running {method} @0.5 ...")
@@ -206,16 +285,31 @@ def main() -> None:
                 {k: float(v) for k, v in sparsity_dict.items()}, f)
         log(f"sparsity dict -> {save_dict}")
 
+    save_ckpt = os.environ.get("ECOFLAP_BENCH_SAVE_CKPT")
+    if save_ckpt:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(save_ckpt), pruned, force=True)
+        ckptr.wait_until_finished()
+        log(f"pruned params -> {save_ckpt}")
+
     sparsity = pruner.check_sparsity()
     log(f"wall {wall:.1f}s  global sparsity {sparsity:.4f}  "
         f"groups {len(sparsity_dict) if sparsity_dict else 0}")
 
-    print(json.dumps({
+    out = {
         "metric": f"ecoflap_{method}_prune_wall_s",
         "value": round(wall, 2),
         "unit": "s",
         "vs_baseline": round(wall / baseline_s, 4),
-    }))
+    }
+    counters = getattr(pruner, "_counters", None) or {}
+    if stacks_env and counters:
+        # stage mode: parent sums these for the end-to-end sparsity
+        out.update(zeros=counters.get("zeros", 0),
+                   total=counters.get("total", 0))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

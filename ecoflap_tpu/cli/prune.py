@@ -63,6 +63,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_samples", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--seqlen", type=int, default=2048)  # LLaMA (main.py:27)
+    # staged / isolated execution (SparseGPT-at-XL memory relief: the axon
+    # device budget is per-process; running each stack in its own process
+    # resets it — chained through --save_pruned / --load_pruned checkpoints
+    # and the reference's --sparsity_dict handoff)
+    p.add_argument("--stacks", default=None,
+                   help="comma-separated stack names to prune (others skip)")
+    p.add_argument("--load_pruned", default=None,
+                   help="orbax checkpoint dir to start params from "
+                        "(a previous stage's --save_pruned output)")
+    p.add_argument("--coarse_only", action="store_true",
+                   help="compute + save the coarse-stage sparsity dict, "
+                        "skip the fine stage")
+    p.add_argument("--per_stack_process", action="store_true",
+                   help="orchestrate: coarse stage then one subprocess per "
+                        "stack, chaining checkpoints")
+    p.add_argument("--consume_params", action="store_true",
+                   help="donate the model's own buffers to the prune "
+                        "programs (skips the defensive stack copy)")
+    p.add_argument("--hessian_bf16", action="store_true",
+                   help="accumulate SparseGPT Hessians in bf16 (halves "
+                        "stat-output memory churn)")
     # output
     p.add_argument("--output_dir", default="output")
     p.add_argument("--job_id", default=None)
@@ -189,6 +210,75 @@ def _configs(args):
     raise ValueError(args.model)
 
 
+STACK_NAMES = {
+    "blip2_t5": ["visual_encoder.blocks", "t5_model.encoder.block",
+                 "t5_model.decoder.block"],
+    "t5": ["encoder.block", "decoder.block"],
+    "llama": ["model.layers"],
+}
+
+
+def _per_stack_orchestrate(args) -> Dict[str, Any]:
+    """Run the coarse stage (if requested) and then one subprocess per stack,
+    chaining pruned params through orbax checkpoints. Each subprocess gets a
+    fresh device-allocation budget — the fix for SparseGPT-at-XL dying with
+    RESOURCE_EXHAUSTED at the decoder phase (ROUND1_NOTES.md round-2 list)."""
+    import os
+    import subprocess
+    import sys
+
+    stacks = (args.stacks.split(",") if args.stacks
+              else STACK_NAMES.get(args.model))
+    if not stacks:
+        raise SystemExit(f"--per_stack_process needs --stacks for {args.model}")
+
+    base = [sys.executable, "-m", "ecoflap_tpu.cli.prune"]
+    for k, v in vars(args).items():
+        if k in ("per_stack_process", "stacks", "load_pruned", "coarse_only",
+                 "save_pruned", "sparsity_dict", "job_id", "options") or v in (None, False):
+            continue
+        flag = f"--{k}"
+        base += [flag] if v is True else [flag, str(v)]
+
+    def run(extra, tag):
+        cmd = base + extra
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        sys.stderr.write(res.stderr)
+        if res.returncode != 0:
+            sys.stderr.write(res.stdout)
+            raise RuntimeError(f"stage {tag} failed rc={res.returncode}")
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    t0 = time.time()
+    results = []
+    sparsity_dict = args.sparsity_dict
+    if args.sparsity_ratio_granularity and not sparsity_dict:
+        r = run(["--coarse_only", "--job_id", "coarse"], "coarse")
+        sparsity_dict = r["sparsity_dict"]
+        results.append(r)
+
+    prev_ckpt = args.load_pruned
+    for i, stack in enumerate(stacks):
+        extra = ["--stacks", stack, "--save_pruned", "--job_id", f"stage{i}"]
+        if sparsity_dict:
+            extra += ["--sparsity_dict", sparsity_dict]
+        if prev_ckpt:
+            extra += ["--load_pruned", prev_ckpt]
+        r = run(extra, stack)
+        prev_ckpt = r["checkpoint"]
+        results.append(r)
+
+    out = {
+        "job_id": args.job_id or "per_stack",
+        "wall_clock_s": round(time.time() - t0, 1),
+        "prunable_sparsity": results[-1]["prunable_sparsity"],
+        "stages": results,
+        "checkpoint": prev_ckpt,
+    }
+    print(json.dumps(out))
+    return out
+
+
 def main(argv=None) -> Dict[str, Any]:
     from ecoflap_tpu.pruning.loader import load_pruner
     from ecoflap_tpu.runners.runner import Runner, global_sparsity
@@ -198,6 +288,8 @@ def main(argv=None) -> Dict[str, Any]:
         jax.config.update("jax_platforms", args.platform)
     if args.sparsity_type != "unstructured" and ":" in args.sparsity_type:
         args.prune_n, args.prune_m = map(int, args.sparsity_type.split(":"))
+    if args.per_stack_process:
+        return _per_stack_orchestrate(args)
     job_id = args.job_id or (
         f"{args.pruning_method}_{args.prune_spec or 'none'}"
         f"_{args.score_method}_{args.sparsity_ratio_granularity}"
@@ -205,6 +297,23 @@ def main(argv=None) -> Dict[str, Any]:
     runner = Runner(args.output_dir, job_id)
 
     adapter, batch, num_mb, stack_specs = _configs(args)
+    if args.load_pruned:
+        import orbax.checkpoint as ocp
+
+        shapes = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), adapter.params)
+        import os
+
+        adapter.params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.load_pruned), shapes)
+    if args.stacks:
+        # explicit None for non-kept stacks: a missing entry would fall back
+        # to --prune_spec via _spec_for_stack and prune everything anyway
+        keep = set(args.stacks.split(","))
+        stack_specs = {
+            s.name: (stack_specs.get(s.name) if s.name in keep else None)
+            for s in adapter.stacks
+        }
 
     pruner_cfg = dict(
         stack_specs=stack_specs or None,
@@ -220,6 +329,8 @@ def main(argv=None) -> Dict[str, Any]:
         prune_n=args.prune_n,
         prune_m=args.prune_m,
         key=jax.random.PRNGKey(args.seed),
+        consume_params=args.consume_params,
+        hessian_bf16=args.hessian_bf16,
     )
     if args.is_global:
         pruner_cfg = dict(
@@ -231,6 +342,19 @@ def main(argv=None) -> Dict[str, Any]:
 
     t0 = time.time()
     pruner = load_pruner(args.pruning_method, adapter, batch, num_mb, pruner_cfg)
+    if args.coarse_only:
+        from ecoflap_tpu.core.spec import parse_prune_spec
+
+        specs = [s for s in (stack_specs or {}).values() if s]
+        ratio = parse_prune_spec(specs[0] if specs else args.prune_spec).sparsity
+        sdict = pruner.get_sparsity(ratio, args.sparsity_ratio_granularity)
+        result = {
+            "job_id": job_id,
+            "wall_clock_s": round(time.time() - t0, 1),
+            "sparsity_dict": runner.save_sparsity_dict(sdict),
+        }
+        print(json.dumps(result))
+        return result
     params, sparsity_dict = pruner.prune()
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     wall = time.time() - t0

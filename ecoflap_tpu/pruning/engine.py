@@ -101,9 +101,25 @@ def chunked_block_apply(
     attention scores of a 257-token ViT at 128 samples alone are ~5 GB f32,
     which OOMs a 16 GB chip next to 8 GB of bf16 params. Cache leaves whose
     leading dim equals the batch are chunked; shared leaves (position biases)
-    broadcast."""
+    broadcast.
+
+    ``collect="hessian_bf16"`` accumulates f32 across chunks (exactly like
+    "hessian") and casts the FINAL stats to bf16 on output — one rounding,
+    half the Hessian bytes leaving the program (the per-block stat outputs
+    count against the axon tunnel's cumulative-allocation budget)."""
+    out_bf16 = collect == "hessian_bf16"
+    if out_bf16:
+        collect = "hessian"
+
+    def finish(stats):
+        if out_bf16:
+            return jax.tree_util.tree_map(
+                lambda s: s.astype(jnp.bfloat16), stats)
+        return stats
+
     if num_chunks <= 1:
-        return block_forward(bp, x, cache, collect=collect)
+        y, stats = block_forward(bp, x, cache, collect=collect)
+        return y, finish(stats)
     b = x.shape[0]
     assert b % num_chunks == 0, (b, num_chunks)
     xc = x.reshape(num_chunks, b // num_chunks, *x.shape[1:])
@@ -129,7 +145,7 @@ def chunked_block_apply(
         return stats_acc, y
 
     stats, ys = jax.lax.scan(body, init_stats, jnp.arange(num_chunks))
-    return ys.reshape(b, *ys.shape[2:]), stats
+    return ys.reshape(b, *ys.shape[2:]), finish(stats)
 
 
 def _stream_prune_stack(
@@ -143,8 +159,15 @@ def _stream_prune_stack(
     verbose: bool,
     counters: Optional[Dict[str, int]] = None,
     fuse_block_step: bool = False,
+    consume_params: bool = False,
 ) -> PyTree:
     """Shared layer-streaming loop with a DONATED per-block prune program.
+
+    ``consume_params=True`` skips the defensive stack copy and donates the
+    CALLER's stacked leaves to the prune programs — the input ``params`` tree
+    must not be used afterwards (its stack buffers are consumed). Saves one
+    stack-sized allocation (~7.6 GB across BLIP-2 XL stacks) against the
+    cumulative device budget.
 
     ``fuse_block_step=True`` additionally fuses stats-collection, pruning and
     the re-forward into ONE donated program per block, so the per-linear
@@ -238,9 +261,10 @@ def _stream_prune_stack(
         # Defensive copy ONCE per stack: the donated per-block program then
         # updates these copies in place, and the caller's original tree stays
         # valid (one stack-sized allocation instead of one per block).
-        blocks = jax.tree_util.tree_map(
-            jnp.array, get_leaf(params, stack.blocks_path)
-        )
+        # consume_params donates the caller's buffers directly instead.
+        blocks = get_leaf(params, stack.blocks_path)
+        if not consume_params:
+            blocks = jax.tree_util.tree_map(jnp.array, blocks)
         for i in range(stack.num_blocks):
             if verbose:
                 print(f"pruning block {i} ({stack.name})")
@@ -304,11 +328,12 @@ def prune_stack_wanda(
     verbose: bool = True,
     counters: Optional[Dict[str, int]] = None,
     fuse_block_step: bool = False,
+    consume_params: bool = False,
 ) -> PyTree:
     """Wanda-prune one stack, streaming calibration activations once."""
 
     def prune_weight(w, col_sq_sum, n_seq, ratio):
-        metric = wanda_metric(w, col_sq_sum / n_seq)
+        metric = wanda_metric(w, col_sq_sum.astype(jnp.float32) / n_seq)
         if prune_n != 0:
             mask = mask_n_m(metric, prune_n, prune_m)
         elif stack.per_row_mask:
@@ -319,7 +344,7 @@ def prune_stack_wanda(
 
     return _stream_prune_stack(
         stack, params, batch, "wanda", prune_weight, sparsity_ratio,
-        num_chunks, verbose, counters, fuse_block_step,
+        num_chunks, verbose, counters, fuse_block_step, consume_params,
     )
 
 
@@ -336,19 +361,29 @@ def prune_stack_sparsegpt(
     verbose: bool = True,
     counters: Optional[Dict[str, int]] = None,
     fuse_block_step: bool = False,
+    consume_params: bool = False,
+    hessian_bf16: bool = False,
 ) -> PyTree:
-    """SparseGPT-prune one stack (Hessian per linear, OBS column sweep)."""
+    """SparseGPT-prune one stack (Hessian per linear, OBS column sweep).
+
+    ``hessian_bf16`` stores the accumulated Gram matrices in bf16 (f32 MXU
+    accumulation per chunk, bf16 cross-chunk sums) — halves the Hessian
+    bytes that leave jit per block; the OBS sweep still runs in f32 after
+    upcast. Mask agreement vs f32 accumulation is tested in
+    tests/test_engine.py."""
 
     def prune_weight(w, xtx, n_seq, ratio):
-        h = (2.0 / n_seq) * xtx  # SparseGPT.add_batch scaling
+        # upcast BEFORE scaling: bf16-stored Hessians sweep in f32
+        h = (2.0 / n_seq) * xtx.astype(jnp.float32)  # SparseGPT.add_batch
         return sparsegpt_prune_weight(
             w, h, ratio, blocksize=blocksize, percdamp=percdamp,
             prune_n=prune_n, prune_m=prune_m,
         )
 
     return _stream_prune_stack(
-        stack, params, batch, "hessian", prune_weight, sparsity_ratio,
-        num_chunks, verbose, counters, fuse_block_step,
+        stack, params, batch, "hessian_bf16" if hessian_bf16 else "hessian",
+        prune_weight, sparsity_ratio,
+        num_chunks, verbose, counters, fuse_block_step, consume_params,
     )
 
 

@@ -77,6 +77,8 @@ class TwoStagePruner:
         key: Optional[jax.Array] = None,
         eval_chunk_size: Optional[int] = None,
         fuse_block_step: Any = False,  # bool | list of stack names
+        consume_params: bool = False,
+        hessian_bf16: bool = False,
         verbose: bool = True,
         **kwargs: Any,
     ) -> None:
@@ -85,6 +87,8 @@ class TwoStagePruner:
         self.num_microbatches = num_microbatches
         self.eval_chunk_size = eval_chunk_size
         self.fuse_block_step = fuse_block_step
+        self.consume_params = consume_params
+        self.hessian_bf16 = hessian_bf16
         self.prune_spec = prune_spec
         self.stack_specs = dict(stack_specs or {})
         self.sparsity_ratio_granularity = sparsity_ratio_granularity
@@ -174,6 +178,7 @@ class TwoStagePruner:
                 verbose=self.verbose,
                 counters=self._counters,
                 fuse_block_step=self._fuse_for(stack),
+                consume_params=self.consume_params,
             )
         if self.local_method == "sparsegpt":
             return prune_stack_sparsegpt(
@@ -187,6 +192,8 @@ class TwoStagePruner:
                 verbose=self.verbose,
                 counters=self._counters,
                 fuse_block_step=self._fuse_for(stack),
+                consume_params=self.consume_params,
+                hessian_bf16=self.hessian_bf16,
             )
         raise ValueError(self.local_method)
 

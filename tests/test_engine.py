@@ -187,3 +187,55 @@ def test_fused_block_step_matches_unfused():
             np.asarray(outs[0][0]), np.asarray(outs[1][0]),
             rtol=1e-5, atol=1e-6, err_msg=fn.__name__)
         assert outs[0][1] == outs[1][1], fn.__name__
+
+
+def test_consume_params_matches_copying():
+    """consume_params=True (donate the caller's stack buffers) must produce
+    the same pruned weights as the defensive-copy default."""
+    from ecoflap_tpu.models import llama
+
+    cfg = llama.tiny_config()
+    base = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {"input_ids": jnp.asarray(
+        rng.integers(2, cfg.vocab_size, size=(8, 10)), jnp.int32)}
+    stack = llama.make_stack(cfg)
+
+    ref = prune_stack_wanda(
+        stack, jax.tree_util.tree_map(jnp.array, base), batch,
+        UniformSparsity(0.5), num_chunks=2, verbose=False)
+    consumed = prune_stack_wanda(
+        stack, jax.tree_util.tree_map(jnp.array, base), batch,
+        UniformSparsity(0.5), num_chunks=2, verbose=False,
+        consume_params=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref["layers"]["attn"]["q"]["kernel"]),
+        np.asarray(consumed["layers"]["attn"]["q"]["kernel"]))
+
+
+def test_hessian_bf16_mask_parity():
+    """bf16-stored Hessians must select (nearly) the same OBS masks as f32:
+    the sweep itself still runs f32; only cross-chunk accumulation rounds."""
+    from ecoflap_tpu.models import llama
+
+    cfg = llama.tiny_config(d_model=64, d_ff=128, num_heads=8, num_kv_heads=8)
+    base = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {"input_ids": jnp.asarray(
+        rng.integers(2, cfg.vocab_size, size=(16, 12)), jnp.int32)}
+    stack = llama.make_stack(cfg)
+
+    outs = []
+    for bf16 in (False, True):
+        p = jax.tree_util.tree_map(jnp.array, base)
+        counters = {}
+        pruned = prune_stack_sparsegpt(
+            stack, p, batch, UniformSparsity(0.5), num_chunks=4,
+            verbose=False, counters=counters, hessian_bf16=bf16)
+        outs.append(pruned)
+    for name in ("q", "o"):
+        a = np.asarray(outs[0]["layers"]["attn"][name]["kernel"] == 0)
+        b = np.asarray(outs[1]["layers"]["attn"][name]["kernel"] == 0)
+        agree = (a == b).mean()
+        assert agree > 0.99, (name, agree)
+        assert abs(a.mean() - b.mean()) < 0.01
