@@ -30,7 +30,7 @@ from ecoflap_tpu.models import eva_vit, qformer
 from ecoflap_tpu.models import t5 as t5_mod
 from ecoflap_tpu.models.generation import GenerateConfig, t5_generate
 from ecoflap_tpu.models.layers import layer_norm
-from ecoflap_tpu.pruning.adapter import LossPlan, ModelAdapter
+from ecoflap_tpu.pruning.adapter import ModelAdapter
 
 PyTree = Any
 
@@ -89,10 +89,9 @@ def init_params(cfg: Blip2Config, key: jax.Array, dtype=jnp.float32,
     }
 
 
-def encode_image(cfg: Blip2Config, params: PyTree, images: jax.Array) -> jax.Array:
-    """image -> (B, num_query_tokens, d_t5) projected query embeddings
-    (blip2_t5.py:118-134)."""
-    feats = eva_vit.forward_features(cfg.vit, params["visual_encoder"], images)
+def project_features(cfg: Blip2Config, params: PyTree, feats: jax.Array) -> jax.Array:
+    """ViT token features -> (B, num_query_tokens, d_t5) projected query
+    embeddings (ln_vision -> Q-Former -> t5_proj, blip2_t5.py:118-134)."""
     feats = layer_norm(params["ln_vision"], feats, 1e-5)
     q = qformer.forward(
         cfg.qformer, {**params["qformer"], "query_tokens": params["query_tokens"]},
@@ -102,6 +101,13 @@ def encode_image(cfg: Blip2Config, params: PyTree, images: jax.Array) -> jax.Arr
         jnp.dot(q, params["t5_proj"]["kernel"], preferred_element_type=jnp.float32)
         + params["t5_proj"]["bias"]
     ).astype(q.dtype)
+
+
+def encode_image(cfg: Blip2Config, params: PyTree, images: jax.Array) -> jax.Array:
+    """image -> (B, num_query_tokens, d_t5) projected query embeddings
+    (blip2_t5.py:118-134)."""
+    feats = eva_vit.forward_features(cfg.vit, params["visual_encoder"], images)
+    return project_features(cfg, params, feats)
 
 
 def encoder_inputs(
@@ -188,38 +194,56 @@ def make_adapter(cfg: Blip2Config, params: PyTree) -> ModelAdapter:
         return per_sample_loss(cfg, p, batch)
 
     def build_mezo_plans(p, batch, num_chunks: int = 1):
-        """Fast path for T5-group perturbations: the ViT/Q-Former prefix is
-        untouched by any ``t5_model.*`` target, so its projected query
-        embeddings are computed ONCE and every T5 perturbation forward starts
-        from them. Roughly halves the zeroth-order stage for BLIP-2, where
-        the 39-block ViT-g dominates the forward cost (the reference re-runs
-        the full model per group, layer_single_base_pruner.py:507-536).
-        Vision precompute streams in ``num_chunks`` chunks (memory)."""
-        from ecoflap_tpu.pruning.mezo import make_chunked_loss
+        """Suffix-cached fast paths for EVERY stack's MeZO targets
+        (pruning/plans.py): a perturbation in block i of a stack cannot
+        change that block's input, so each plan rolls a cache of block-i
+        inputs forward and evaluates only blocks >= i plus the downstream
+        tail. Replaces the round-1 single T5 plan (which cached only the
+        ViT/Q-Former prefix); the reference re-runs the full model per group
+        (layer_single_base_pruner.py:507-536)."""
+        from ecoflap_tpu.pruning.plans import SuffixPlan
 
-        enc_chunked = make_chunked_loss(
-            lambda pp, img: encode_image(cfg, pp, img["image"]), num_chunks
-        )
-        q = jax.jit(enc_chunked)(p, {"image": batch["image"]})
-        q = q.reshape(batch["image"].shape[0], cfg.num_query_tokens, -1)
-        t5_data = {**batch, "query_t5": q}
+        text_keys = ("text_input_ids", "text_input_mask", "labels")
 
-        def t5_loss(pp, b):
-            text_embeds = pp["t5_model"]["shared"][b["text_input_ids"]]
-            x = jnp.concatenate(
-                [b["query_t5"].astype(text_embeds.dtype), text_embeds], axis=1
-            )
-            q_mask = jnp.ones(b["query_t5"].shape[:2], b["text_input_mask"].dtype)
-            mask = jnp.concatenate([q_mask, b["text_input_mask"]], axis=1)
+        def vit_finish(pp, y, d):
+            q = project_features(cfg, pp, y)
+            text_embeds = pp["t5_model"]["shared"][d["text_input_ids"]]
+            x = jnp.concatenate([q.astype(text_embeds.dtype), text_embeds], axis=1)
+            q_mask = jnp.ones(q.shape[:2], d["text_input_mask"].dtype)
+            mask = jnp.concatenate([q_mask, d["text_input_mask"]], axis=1)
             return t5_mod.per_sample_loss(
-                cfg.t5, pp["t5_model"], None, mask, b["labels"], enc_embeds=x
+                cfg.t5, pp["t5_model"], None, mask, d["labels"], enc_embeds=x
             )
 
-        return [LossPlan(
-            match=lambda name: name.startswith("t5_model."),
-            loss_fn=t5_loss,
-            data=t5_data,
-        )]
+        def enc_finish(pp, y, d):
+            enc_out = t5_mod.rms_norm(
+                pp["t5_model"]["encoder"]["final_ln"], y, cfg.t5.ln_eps
+            )
+            return t5_mod.loss_from_enc(
+                cfg.t5, pp["t5_model"], enc_out, d["enc_mask"], d["labels"]
+            )
+
+        def dec_finish(pp, y, d):
+            return t5_mod.loss_from_dec_hidden(
+                cfg.t5, pp["t5_model"], y, d["labels"]
+            )
+
+        q_mask = jnp.ones(
+            (batch["image"].shape[0], cfg.num_query_tokens),
+            batch["text_input_mask"].dtype,
+        )
+        enc_mask = jnp.concatenate([q_mask, batch["text_input_mask"]], axis=1)
+
+        return [
+            SuffixPlan(vit_stack, vit_finish, p, batch,
+                       batch_keys=text_keys, num_chunks=num_chunks),
+            SuffixPlan(enc_stack, enc_finish, p, batch,
+                       batch_keys=("labels",),
+                       extra_data={"enc_mask": enc_mask},
+                       num_chunks=num_chunks),
+            SuffixPlan(dec_stack, dec_finish, p, batch,
+                       batch_keys=("labels",), num_chunks=num_chunks),
+        ]
 
     return ModelAdapter(
         name="blip2_t5",

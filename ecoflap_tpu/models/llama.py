@@ -217,14 +217,9 @@ def forward(
     return jnp.dot(x, params["lm_head"]["kernel"], preferred_element_type=jnp.float32)
 
 
-def per_sample_loss(
-    cfg: LlamaConfig,
-    params: PyTree,
-    input_ids: jax.Array,
-    attn_mask: Optional[jax.Array] = None,
+def _next_token_ce(
+    logits: jax.Array, input_ids: jax.Array, attn_mask: Optional[jax.Array]
 ) -> jax.Array:
-    """(B,) next-token CE, mean over valid target positions."""
-    logits = forward(cfg, params, input_ids, attn_mask)
     targets = input_ids[:, 1:]
     valid = (
         jnp.ones_like(targets, jnp.bool_)
@@ -235,6 +230,33 @@ def per_sample_loss(
     ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     ce = jnp.where(valid, ce, 0.0)
     return jnp.sum(ce, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1)
+
+
+def per_sample_loss(
+    cfg: LlamaConfig,
+    params: PyTree,
+    input_ids: jax.Array,
+    attn_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """(B,) next-token CE, mean over valid target positions."""
+    logits = forward(cfg, params, input_ids, attn_mask)
+    return _next_token_ce(logits, input_ids, attn_mask)
+
+
+def loss_from_hidden(
+    cfg: LlamaConfig,
+    params: PyTree,
+    x: jax.Array,
+    input_ids: jax.Array,
+    attn_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """per_sample_loss from the layer stack's output hidden states — the
+    suffix-plan entry point (pruning/plans.py)."""
+    x = rms_norm(params["norm"], x, cfg.rms_eps)
+    logits = jnp.dot(
+        x, params["lm_head"]["kernel"], preferred_element_type=jnp.float32
+    )
+    return _next_token_ce(logits, input_ids, attn_mask)
 
 
 def perplexity(
@@ -283,7 +305,19 @@ def make_adapter(cfg: LlamaConfig, params: PyTree):
     def loss_fn(p, batch):
         return per_sample_loss(cfg, p, batch["input_ids"], batch.get("attn_mask"))
 
+    def build_mezo_plans(p, batch, num_chunks: int = 1):
+        from ecoflap_tpu.pruning.plans import SuffixPlan
+
+        def finish(pp, y, d):
+            return loss_from_hidden(
+                cfg, pp, y, d["input_ids"], d.get("attn_mask"))
+
+        keys = [k for k in ("input_ids", "attn_mask") if k in batch]
+        return [SuffixPlan(stack, finish, p, batch, batch_keys=keys,
+                           num_chunks=num_chunks)]
+
     return ModelAdapter(
         name="llama", params=params, loss_fn=loss_fn, stacks=[stack],
         model_prefixes={stack.name: "model"},
+        build_mezo_plans=build_mezo_plans,
     )

@@ -430,14 +430,44 @@ def per_sample_loss(
         enc_out = encode_embeds(cfg, params, enc_embeds, attn_mask)
     else:
         enc_out = encode(cfg, params, input_ids, attn_mask)
-    dec_in = shift_right(cfg, labels)
-    logits = decode(cfg, params, enc_out, attn_mask, dec_in, decoder_mask)
+    return loss_from_enc(cfg, params, enc_out, attn_mask, labels, decoder_mask)
+
+
+def ce_per_sample(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """(B, S, V) logits + (B, S) labels (-100 ignored) -> (B,) token-mean CE."""
     valid = labels != -100
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     ce = jnp.where(valid, ce, 0.0)
     return jnp.sum(ce, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1)
+
+
+def loss_from_enc(
+    cfg: T5Config,
+    params: PyTree,
+    enc_out: jax.Array,
+    enc_mask: jax.Array,
+    labels: jax.Array,
+    decoder_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """per_sample_loss from a precomputed encoder output — the suffix-plan
+    entry point for encoder-block perturbations (pruning/plans.py)."""
+    dec_in = shift_right(cfg, labels)
+    logits = decode(cfg, params, enc_out, enc_mask, dec_in, decoder_mask)
+    return ce_per_sample(logits, labels)
+
+
+def loss_from_dec_hidden(
+    cfg: T5Config, params: PyTree, x: jax.Array, labels: jax.Array
+) -> jax.Array:
+    """per_sample_loss from the decoder stack's output hidden states (before
+    the final RMSNorm) — the suffix-plan entry point for decoder blocks."""
+    x = rms_norm(params["decoder"]["final_ln"], x, cfg.ln_eps)
+    logits = jnp.dot(
+        x, params["lm_head"]["kernel"], preferred_element_type=jnp.float32
+    )
+    return ce_per_sample(logits, labels)
 
 
 # ---------------------------------------------------------------------------

@@ -101,22 +101,80 @@ def _group_means(losses: jax.Array, num_groups: int) -> jax.Array:
     return losses.reshape(num_groups, -1).mean(axis=1)
 
 
-def make_chunked_loss(loss_fn: LossFn, num_chunks: int) -> LossFn:
+def _split_static(data, static_keys):
+    if static_keys and isinstance(data, dict):
+        static = {k: data[k] for k in static_keys if k in data}
+        return static, {k: v for k, v in data.items() if k not in static}
+    return {}, data
+
+
+def _is_batch_leaf(x, batch_dim) -> bool:
+    """batch_dim None = legacy behavior (every leaf is batch data)."""
+    if batch_dim is None:
+        return True
+    return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == batch_dim
+
+
+def make_chunked_loss(
+    loss_fn: LossFn,
+    num_chunks: int,
+    static_keys: Sequence[str] = (),
+    batch_dim: Optional[int] = None,
+) -> LossFn:
     """Evaluate the per-sample loss in ``num_chunks`` sequential chunks via
     ``lax.map`` — same values, 1/num_chunks the activation memory. On a 16 GB
     chip this is what lets a 4B-param BLIP-2 score 128 calibration samples:
-    the full-batch ViT attention alone needs ~5 GB of live activations."""
+    the full-batch ViT attention alone needs ~5 GB of live activations.
+
+    ``static_keys`` names top-level dict entries passed whole to every chunk
+    (non-batch data, e.g. a SuffixPlan's start index). ``batch_dim``, when
+    given, marks leaves whose leading dim differs from it as shared (not
+    chunked) — e.g. a (1, 1, S, S) causal bias in a suffix plan's cache."""
     if num_chunks <= 1:
         return loss_fn
 
     def chunked(params, data):
-        chunks = jax.tree_util.tree_map(
-            lambda x: x.reshape(num_chunks, -1, *x.shape[1:]), data
-        )
-        losses = jax.lax.map(lambda mb: loss_fn(params, mb), chunks)
+        static, dyn = _split_static(data, static_keys)
+        leaves, treedef = jax.tree_util.tree_flatten(dyn)
+        idx = [i for i, l in enumerate(leaves) if _is_batch_leaf(l, batch_dim)]
+        stacked = [
+            leaves[i].reshape(num_chunks, -1, *leaves[i].shape[1:]) for i in idx
+        ]
+
+        def body(mb_leaves):
+            merged = list(leaves)
+            for i, v in zip(idx, mb_leaves):
+                merged[i] = v
+            mb = jax.tree_util.tree_unflatten(treedef, merged)
+            if static:
+                mb = {**mb, **static}
+            return loss_fn(params, mb)
+
+        losses = jax.lax.map(body, stacked)
         return losses.reshape(-1)
 
     return chunked
+
+
+def slice_microbatch(
+    data, b: int, num: int,
+    static_keys: Sequence[str] = (),
+    batch_dim: Optional[int] = None,
+):
+    """Microbatch ``b`` of ``num`` from a data tree, leaving static keys and
+    non-batch leaves whole (per_batch noise mode; same leaf rules as
+    make_chunked_loss)."""
+    static, dyn = _split_static(data, static_keys)
+
+    def sel(x):
+        if not _is_batch_leaf(x, batch_dim):
+            return x
+        return x.reshape(num, -1, *x.shape[1:])[b]
+
+    out = jax.tree_util.tree_map(sel, dyn)
+    if static:
+        out = {**out, **static}
+    return out
 
 
 def mezo_leaf_scores(
@@ -160,15 +218,24 @@ def mezo_leaf_scores(
     chunks = (eval_chunks or num_microbatches) if noise_mode == "shared" else 1
     default_pair = (jax.jit(make_chunked_loss(loss_fn, chunks)), data)
     plan_pairs = [
-        (p, jax.jit(make_chunked_loss(p.loss_fn, chunks)), p.data)
+        (p, jax.jit(make_chunked_loss(
+            p.loss_fn, chunks,
+            getattr(p, "static_keys", ()),
+            getattr(p, "batch_size", None))), p.data)
         for p in (loss_plans or [])
     ]
 
     def pair_for(name: str):
+        """(plan, jitted_loss, data) for this target. Plans with a ``prepare``
+        hook (SuffixPlan) update their rolling state here — called BEFORE the
+        target's perturbations, so params are unperturbed."""
         for p, fn, d in plan_pairs:
             if p.match(name):
-                return fn, d
-        return default_pair
+                prep = getattr(p, "prepare", None)
+                if prep is not None:
+                    d = prep(params, name)
+                return p, fn, d
+        return (None,) + default_pair
 
     def sample_z(k, shape, dtype):
         return (jax.random.normal(k, shape, jnp.float32) * eps).astype(dtype)
@@ -177,7 +244,7 @@ def mezo_leaf_scores(
     for ti, t in enumerate(targets):
         if progress is not None:
             progress(ti, t.name)
-        loss_jit, tdata = pair_for(t.name)
+        plan, loss_jit, tdata = pair_for(t.name)
         tkey = jax.random.fold_in(key, ti)
         shape = t.shape(params)
         dtype = t.dtype(params)
@@ -202,8 +269,10 @@ def mezo_leaf_scores(
                 score = score + jnp.sum(proj)
         elif noise_mode == "per_batch":
             for b in range(num_microbatches):
-                mb = jax.tree_util.tree_map(
-                    lambda x: x.reshape(num_microbatches, -1, *x.shape[1:])[b], tdata
+                mb = slice_microbatch(
+                    tdata, b, num_microbatches,
+                    getattr(plan, "static_keys", ()),
+                    getattr(plan, "batch_size", None),
                 )
                 per_batch = jnp.zeros((), jnp.float32)
                 for n in range(num_noise):

@@ -1,0 +1,163 @@
+"""Suffix-cached MeZO loss plans — prefix reuse for the zeroth-order stage.
+
+The reference re-runs the FULL model for every group perturbation
+(layer_single_base_pruner.py:507-536): scoring block i of an L-block stack
+pays for blocks 0..L-1 plus everything downstream, twice per noise draw. But
+a perturbation confined to block i cannot change the input of block i — the
+prefix (blocks < i) is both unperturbed and identical across the antithetic
+pair and across every target inside block i.
+
+``SuffixPlan`` exploits this with TPU-friendly structure:
+
+* a ROLLING CACHE of block-i's input activations, advanced by ONE extra
+  block forward when scoring moves to the next block (total prefix cost over
+  the whole stack = one stack forward, amortized);
+* a cond-MASKED SCAN for the suffix: one compiled program scans ALL blocks
+  but skips steps ``j < start`` via ``lax.cond`` (the start index is a traced
+  scalar, so there is exactly ONE program per stack, not one per block —
+  compile time through the axon tunnel is the expensive resource);
+* a model-supplied ``finish_fn`` mapping the stack's output to per-sample
+  losses (e.g. BLIP-2's ViT stack: ln_vision -> Q-Former -> t5_proj -> T5).
+
+Scores are numerically identical to the full-forward path up to float
+reduction order (tested in tests/test_mezo_plans.py). Expected effect at
+BLIP-2 XL scale: prefix compute drops from O(L/2) blocks per eval to O(1)
+amortized — roughly 35-40% of the coarse stage.
+
+Plan protocol consumed by ``mezo_leaf_scores``: ``match(name)``,
+``loss_fn(params, data)``, ``data``, plus optional ``prepare(params, name)``
+(returns per-target data; lets the plan roll its cache) and ``static_keys``
+(data keys that must NOT be chunked/microbatch-sliced, e.g. the start index).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ecoflap_tpu.core.pytree import get_leaf
+from ecoflap_tpu.pruning.adapter import StackSpec
+
+PyTree = Any
+
+X_KEY = "__suffix_x"
+CACHE_KEY = "__suffix_cache"
+START_KEY = "__suffix_start"
+
+
+def masked_suffix_scan(
+    block_forward: Callable,
+    blocks: PyTree,
+    x: jax.Array,
+    cache: Any,
+    start: jax.Array,
+) -> jax.Array:
+    """Scan all blocks, passing ``x`` through unchanged for steps < start.
+    ``x`` must already be block ``start``'s input. One compiled program for
+    any start value."""
+    n = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+
+    def body(x, inp):
+        j, bp = inp
+        y = jax.lax.cond(
+            j >= start,
+            lambda h: block_forward(bp, h, cache, collect=None)[0],
+            lambda h: h,
+            x,
+        )
+        return y, None
+
+    y, _ = jax.lax.scan(body, x, (jnp.arange(n), blocks))
+    return y
+
+
+class SuffixPlan:
+    """Rolling-prefix MeZO plan for one StackSpec.
+
+    Args:
+      stack: the stack whose targets this plan serves.
+      finish_fn: (params, stack_output, data) -> (B,) per-sample losses.
+      params: UNPERTURBED model params (cache built from these; MeZO's
+        antithetic cycle restores weights before ``prepare`` is called).
+      batch: full calibration batch.
+      batch_keys: batch fields the finish_fn reads (defaults to all) — keep
+        this tight so unused leaves don't ride through the chunked loss.
+      extra_data: additional (batch-leading-dim) arrays for finish_fn, e.g.
+        the fused encoder mask for a T5-decoder loss.
+      num_chunks: memory-chunking for the initial prepare_inputs pass.
+    """
+
+    static_keys = (START_KEY,)
+
+    def __init__(
+        self,
+        stack: StackSpec,
+        finish_fn: Callable[[PyTree, jax.Array, Dict], jax.Array],
+        params: PyTree,
+        batch: Any,
+        batch_keys: Optional[Sequence[str]] = None,
+        extra_data: Optional[Dict[str, Any]] = None,
+        num_chunks: int = 1,
+    ) -> None:
+        from ecoflap_tpu.pruning.engine import chunked_prepare
+
+        self.stack = stack
+        self.finish_fn = finish_fn
+        self._prefix = stack.name + "."
+        # batch-vs-shared leaf discrimination for chunking/microbatching:
+        # cache leaves like a (1, 1, S, S) causal bias must ride whole
+        self.batch_size = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        keep = batch_keys if batch_keys is not None else list(batch.keys())
+        self._base = {k: batch[k] for k in keep}
+        self._base.update(extra_data or {})
+        x, cache = jax.jit(
+            lambda p, b: chunked_prepare(stack.prepare_inputs, p, b, num_chunks)
+        )(params, batch)
+        self._x = x
+        self._cache = cache
+        self._block = 0
+        # donate x: the pre-advance activations are dead afterwards (the
+        # rolling cache would otherwise churn a stack's worth of activation
+        # buffers against the device allocation budget)
+        self._advance = jax.jit(
+            lambda bp, h, c: stack.block_forward(bp, h, c, collect=None)[0],
+            donate_argnums=(1,),
+        )
+
+    # -- LossPlan protocol ---------------------------------------------------
+    def match(self, name: str) -> bool:
+        return name.startswith(self._prefix)
+
+    def loss_fn(self, params: PyTree, data: Dict[str, Any]) -> jax.Array:
+        blocks = get_leaf(params, self.stack.blocks_path)
+        y = masked_suffix_scan(
+            self.stack.block_forward, blocks, data[X_KEY], data[CACHE_KEY],
+            data[START_KEY],
+        )
+        return self.finish_fn(params, y, data)
+
+    @property
+    def data(self) -> Dict[str, Any]:
+        return {
+            **self._base,
+            X_KEY: self._x,
+            CACHE_KEY: self._cache,
+            START_KEY: jnp.asarray(self._block, jnp.int32),
+        }
+
+    def prepare(self, params: PyTree, name: str) -> Dict[str, Any]:
+        """Advance the rolling cache to the target's block (using the
+        UNPERTURBED params) and return the eval data."""
+        i = int(name[len(self._prefix):].split(".", 1)[0])
+        if i < self._block:
+            raise ValueError(
+                f"SuffixPlan targets must arrive in block order: got block "
+                f"{i} after {self._block} ({name})"
+            )
+        while self._block < i:
+            bp = self.stack.get_block(params, self._block)
+            self._x = self._advance(bp, self._x, self._cache)
+            self._block += 1
+        return self.data
