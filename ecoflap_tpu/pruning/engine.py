@@ -208,8 +208,14 @@ def _stream_prune_stack(
         donate_argnums=(1,),
     )
 
+    import time as _time
+
+    _t0 = _time.time()
     x, cache = prep(params, batch)
     n_seq = jnp.float32(_num_sequences(x))
+    if verbose:
+        x.block_until_ready()
+        print(f"prepared inputs ({stack.name}) +{_time.time() - _t0:.1f}s")
 
     fast = stack.blocks_path is not None
     if fast:
@@ -267,7 +273,7 @@ def _stream_prune_stack(
             blocks = jax.tree_util.tree_map(jnp.array, blocks)
         for i in range(stack.num_blocks):
             if verbose:
-                print(f"pruning block {i} ({stack.name})")
+                print(f"pruning block {i} ({stack.name}) +{_time.time() - _t0:.1f}s")
             ratios = {
                 local: jnp.float32(sparsity_ratio[stack.weight_key(i, local)])
                 for local in stack.linear_names

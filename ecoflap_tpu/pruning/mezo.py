@@ -65,6 +65,19 @@ def _nudge_full(leaf, key, scale):
     return leaf + z
 
 
+def _pallas_perturb_enabled() -> bool:
+    """Fused on-chip-noise perturb kernel (ops/perturb.py): TPU only (the
+    Pallas PRNG is stubbed in CPU interpret mode); kill-switch env."""
+    import os
+
+    if os.environ.get("ECOFLAP_PALLAS_PERTURB", "1") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _perturb_in_place(params: PyTree, t, key: jax.Array, scale) -> None:
     """Donated in-place perturbation of one (possibly stacked) leaf.
 
@@ -78,12 +91,26 @@ def _perturb_in_place(params: PyTree, t, key: jax.Array, scale) -> None:
     device allocation is ~zero — the full-copy path churned ~1 GB/target at
     BLIP-2 scale and exhausted the device allocator mid-scoring.
 
-    One traced program per leaf SHAPE (block index is a traced scalar), not
-    per (leaf, index) pair.
+    On TPU, stacked leaves with exact tilings route through the Pallas
+    ``perturb_block_inplace`` kernel: noise is generated ON-CHIP from the
+    Pallas PRNG and fused into the add (one read + one write of the slice,
+    zero noise HBM traffic; z differs bitwise from jax.random.normal — the
+    estimator only needs i.i.d. N(0,1)). Elsewhere, one traced XLA program
+    per leaf SHAPE (block index is a traced scalar).
     """
+    from ecoflap_tpu.ops.perturb import perturb_block_inplace, supports_block_inplace
+
     leaf = get_leaf(params, t.tree_path)
     scale = jnp.asarray(scale, jnp.float32)
-    if t.block_index is None:
+    if (
+        t.block_index is not None
+        and _pallas_perturb_enabled()
+        and supports_block_inplace(leaf.shape)
+    ):
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+        new = perturb_block_inplace(
+            leaf, jnp.asarray(t.block_index, jnp.int32), seed, scale)
+    elif t.block_index is None:
         new = _nudge_full(leaf, key, scale)
     else:
         new = _nudge_at(leaf, jnp.asarray(t.block_index, jnp.int32), key, scale)
@@ -276,13 +303,20 @@ def mezo_leaf_scores(
                 )
                 per_batch = jnp.zeros((), jnp.float32)
                 for n in range(num_noise):
-                    z = sample_z(
-                        jax.random.fold_in(jax.random.fold_in(tkey, b), n),
-                        shape,
-                        dtype,
-                    )
-                    l_plus = jnp.mean(loss_jit(t.add(params, z), mb))
-                    l_minus = jnp.mean(loss_jit(t.add(params, -z), mb))
+                    bkey = jax.random.fold_in(jax.random.fold_in(tkey, b), n)
+                    if _has_fast_path(t):
+                        # donated in-place antithetic cycle, fresh z per
+                        # microbatch — reference-exact sampling without the
+                        # full-copy churn that exhausted the device budget
+                        _perturb_in_place(params, t, bkey, eps)
+                        l_plus = jnp.mean(loss_jit(params, mb))
+                        _perturb_in_place(params, t, bkey, -2.0 * eps)
+                        l_minus = jnp.mean(loss_jit(params, mb))
+                        _perturb_in_place(params, t, bkey, eps)  # restore
+                    else:
+                        z = sample_z(bkey, shape, dtype)
+                        l_plus = jnp.mean(loss_jit(t.add(params, z), mb))
+                        l_minus = jnp.mean(loss_jit(t.add(params, -z), mb))
                     per_batch = per_batch + jnp.abs(l_plus - l_minus) / (2.0 * eps)
                 # reference: gradients_dict[name] += |per_batch|  (:549)
                 score = score + jnp.abs(per_batch)

@@ -114,7 +114,13 @@ class Runner:
 class TrainRunner(Runner):
     """Epoch-based training orchestration — RunnerBase.train
     (runner_base.py:360-417): per-epoch masked train pass, evaluation,
-    best-checkpoint tracking on ``agg_metrics``, resumable train state."""
+    best-checkpoint tracking on ``agg_metrics``, resumable train state.
+
+    Full train state ``{params, opt_state, epoch, best_agg, best_epoch}``
+    is checkpointed per epoch and restored by ``resume=True`` — the
+    reference's ``{model, optimizer, config, scaler, epoch}`` dict
+    (runner_base.py:897-967). No scaler state exists here: bf16 on TPU
+    needs no AMP loss scaling."""
 
     def __init__(self, output_dir: str = "output", job_id: str = "job",
                  max_epoch: int = 1):
@@ -123,11 +129,43 @@ class TrainRunner(Runner):
         self.best_agg = float("-inf")
         self.best_epoch = -1
 
+    def save_train_state(self, params, opt_state, epoch: int,
+                         name: str = "train_state") -> str:
+        import jax.numpy as jnp
+
+        return self.save_checkpoint({
+            "params": params,
+            "opt_state": opt_state,
+            "epoch": jnp.asarray(epoch, jnp.int32),
+            "best_agg": jnp.asarray(self.best_agg, jnp.float32),
+            "best_epoch": jnp.asarray(self.best_epoch, jnp.int32),
+        }, name)
+
+    def load_train_state(self, params_template, opt_state_template,
+                         name: str = "train_state"):
+        """(params, opt_state, next_epoch) — also restores best-ckpt
+        tracking (reference _load_checkpoint, runner_base.py:945-967)."""
+        import jax.numpy as jnp
+
+        state = self.load_checkpoint({
+            "params": params_template,
+            "opt_state": opt_state_template,
+            "epoch": jnp.zeros((), jnp.int32),
+            "best_agg": jnp.zeros((), jnp.float32),
+            "best_epoch": jnp.zeros((), jnp.int32),
+        }, name)
+        self.best_agg = float(state["best_agg"])
+        self.best_epoch = int(state["best_epoch"])
+        return state["params"], state["opt_state"], int(state["epoch"]) + 1
+
     def train(self, loss_fn, params, epoch_batches_fn, task=None,
               eval_data_fn=None, optimizer=None, masks=None,
-              learning_rate: float = 1e-5, weight_decay: float = 0.05):
+              learning_rate: float = 1e-5, weight_decay: float = 0.05,
+              resume: bool = False):
         """epoch_batches_fn(epoch) -> iterable of batches;
-        eval_data_fn() -> data for task.evaluation. Returns best params."""
+        eval_data_fn() -> data for task.evaluation. ``resume=True`` restarts
+        from the last saved train state (optimizer + epoch included).
+        Returns best params."""
         import optax
 
         from ecoflap_tpu.runners.finetune import (
@@ -139,10 +177,14 @@ class TrainRunner(Runner):
                                              weight_decay=weight_decay)
         masks = masks if masks is not None else make_sparsity_masks(params)
         opt_state = optimizer.init(params)
+        start_epoch = 0
+        if resume:
+            params, opt_state, start_epoch = self.load_train_state(
+                params, opt_state)
         step = make_train_step(loss_fn, optimizer, donate=False)
         best_params = params
 
-        for epoch in range(self.max_epoch):
+        for epoch in range(start_epoch, self.max_epoch):
             losses = []
             for batch in epoch_batches_fn(epoch):
                 params, opt_state, loss = step(params, opt_state, masks, batch)
@@ -161,6 +203,7 @@ class TrainRunner(Runner):
                 self.best_agg, self.best_epoch = agg, epoch
                 best_params = params
                 self.save_checkpoint(params, "checkpoint_best")
+            self.save_train_state(params, opt_state, epoch)
         return best_params
 
 

@@ -14,6 +14,15 @@ reimplemented here without the pycocoevalcap dependency:
 
 Tokenization: lowercase + punctuation strip (the PTBTokenizer effect on
 typical captions).
+
+SPICE is deliberately NOT implemented (documented exclusion): the reference
+reports it alongside CIDEr/BLEU (captioning.py:83-142) via pycocoevalcap's
+Java SPICE jar, which requires the Stanford scene-graph parser — a JVM
+dependency with no faithful pure-Python equivalent (an approximation would
+produce numbers that LOOK comparable to published SPICE but aren't). The
+reference's own model selection never uses it: ``agg_metrics = CIDEr +
+Bleu_4`` only. If pycocoevalcap is available at runtime, ``spice_or_none``
+below calls it; otherwise the metric is reported as absent, never faked.
 """
 
 from __future__ import annotations
@@ -130,7 +139,28 @@ def score_captions(
     refs = [r["gt_captions"] for r in results]
     b4 = bleu4(cands, refs)
     cd = cider_d(cands, refs)
-    return {"Bleu_4": b4, "CIDEr": cd, "agg_metrics": cd + b4}
+    out = {"Bleu_4": b4, "CIDEr": cd, "agg_metrics": cd + b4}
+    spice = spice_or_none(cands, refs)
+    if spice is not None:
+        out["SPICE"] = spice
+    return out
+
+
+def spice_or_none(cands, refs):
+    """SPICE via pycocoevalcap when installed (it needs a JVM + the Stanford
+    scene-graph jar); None otherwise — see the module docstring's exclusion
+    note. Never approximated."""
+    try:
+        from pycocoevalcap.spice.spice import Spice  # type: ignore
+    except Exception:
+        return None
+    gts = {i: rs for i, rs in enumerate(refs)}
+    res = {i: [c] for i, c in enumerate(cands)}
+    try:
+        score, _ = Spice().compute_score(gts, res)
+        return float(score)
+    except Exception:
+        return None
 
 
 @registry.register("task", "captioning")

@@ -408,6 +408,59 @@ def convert_qformer(state: StateDict, cfg, prefix: str = "Qformer.bert.",
     )
 
 
+def export_qformer(params: PyTree, cfg, prefix: str = "Qformer.bert.") -> StateDict:
+    """Inverse of convert_qformer — reference BertModel key naming."""
+    out: StateDict = {}
+
+    def dense(name, p):
+        out[f"{name}.weight"] = np.asarray(p["kernel"], np.float32).T
+        out[f"{name}.bias"] = np.asarray(p["bias"], np.float32)
+
+    def ln(name, p):
+        out[f"{name}.weight"] = np.asarray(p["scale"], np.float32)
+        out[f"{name}.bias"] = np.asarray(p["bias"], np.float32)
+
+    ln(prefix + "embeddings.LayerNorm", params["embeddings_ln"])
+    for i, layer in enumerate(params["layers"]):
+        lp = f"{prefix}encoder.layer.{i}."
+        sa = layer["self_attn"]
+        dense(lp + "attention.self.query", sa["query"])
+        dense(lp + "attention.self.key", sa["key"])
+        dense(lp + "attention.self.value", sa["value"])
+        dense(lp + "attention.output.dense", sa["output"]["dense"])
+        ln(lp + "attention.output.LayerNorm", sa["output"]["ln"])
+        if "cross_attn" in layer:
+            ca = layer["cross_attn"]
+            dense(lp + "crossattention.self.query", ca["query"])
+            dense(lp + "crossattention.self.key", ca["key"])
+            dense(lp + "crossattention.self.value", ca["value"])
+            dense(lp + "crossattention.output.dense", ca["output"]["dense"])
+            ln(lp + "crossattention.output.LayerNorm", ca["output"]["ln"])
+        dense(lp + "intermediate_query.dense", layer["ffn"]["intermediate"])
+        dense(lp + "output_query.dense", layer["ffn"]["output"]["dense"])
+        ln(lp + "output_query.LayerNorm", layer["ffn"]["output"]["ln"])
+    return out
+
+
+def export_blip2(params: PyTree, cfg) -> StateDict:
+    """Full Blip2T5 pytree -> reference-named .pth state dict (the
+    ``pruned_checkpoint/`` artifact consumers of the reference expect,
+    evaluate_blip.py:438-447). Inverse of convert_blip2 — the round trip is
+    bit-exact in f32 (tests/test_checkpoint.py; tools/ckpt_drill.py runs it
+    at XL shapes on device)."""
+    out: StateDict = export_eva_vit(
+        params["visual_encoder"], cfg.vit, "visual_encoder.")
+    out["ln_vision.weight"] = np.asarray(params["ln_vision"]["scale"], np.float32)
+    out["ln_vision.bias"] = np.asarray(params["ln_vision"]["bias"], np.float32)
+    out["query_tokens"] = np.asarray(params["query_tokens"], np.float32)
+    out.update(export_qformer(params["qformer"], cfg.qformer))
+    out["t5_proj.weight"] = np.asarray(params["t5_proj"]["kernel"], np.float32).T
+    out["t5_proj.bias"] = np.asarray(params["t5_proj"]["bias"], np.float32)
+    for k, v in export_t5(params["t5_model"], cfg.t5).items():
+        out[f"t5_model.{k}"] = v
+    return out
+
+
 def convert_blip2(state: StateDict, cfg, dtype=jnp.float32,
                   vit_dtype=None, t5_dtype=None) -> PyTree:
     """Full Blip2T5 checkpoint -> composition pytree. Accepts the reference's

@@ -211,3 +211,49 @@ def test_bert_stack_converter_roundtrip_via_hf():
     ours = np.asarray(
         bert_mod.forward(cfg, params, jnp.asarray(ids, jnp.int32)))
     np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_blip2_roundtrip_and_reference_keys():
+    """Full BLIP-2 export -> .pth naming -> re-import is exact, and the state
+    dict uses the reference's exact key strings (evaluate_blip.py:345-390
+    load path: visual_encoder.*, Qformer.bert.*, query_tokens, t5_proj.*,
+    t5_model.*, ln_vision.*; fused qkv w/ separate q/v bias eva_vit.py:79-85;
+    block-0 rel-bias hoist)."""
+    from ecoflap_tpu.models import blip2
+
+    cfg = blip2.tiny_config()
+    params = blip2.init_params(cfg, jax.random.PRNGKey(0))
+    state = ckpt.export_blip2(params, cfg)
+
+    for key in [
+        "visual_encoder.blocks.0.attn.qkv.weight",
+        "visual_encoder.blocks.0.attn.q_bias",
+        "visual_encoder.blocks.0.attn.v_bias",
+        "visual_encoder.cls_token",
+        "ln_vision.weight",
+        "query_tokens",
+        "Qformer.bert.encoder.layer.0.attention.self.query.weight",
+        "Qformer.bert.encoder.layer.0.crossattention.self.key.weight",
+        "t5_proj.weight",
+        "t5_model.shared.weight",
+        "t5_model.encoder.block.0.layer.0.SelfAttention.q.weight",
+        "t5_model.encoder.block.0.layer.0.SelfAttention."
+        "relative_attention_bias.weight",
+        "t5_model.decoder.block.0.layer.1.EncDecAttention.o.weight",
+        "t5_model.lm_head.weight",
+    ]:
+        assert key in state, key
+    # no k_bias (EVA fused qkv has zero k bias, not stored), no rel bias
+    # beyond block 0 (shared, hoisted)
+    assert "visual_encoder.blocks.0.attn.k_bias" not in state
+    assert ("t5_model.encoder.block.1.layer.0.SelfAttention."
+            "relative_attention_bias.weight") not in state
+
+    back = ckpt.convert_blip2(state, cfg)
+    from ecoflap_tpu.core.pytree import flatten_named
+
+    fa, fb = flatten_named(params), flatten_named(back)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                   rtol=1e-6, err_msg=k)

@@ -232,3 +232,44 @@ def test_iter_train_runner(tmp_path):
     l0 = float(jnp.mean(loss_fn(params, {"input_ids": ids})))
     l1 = float(jnp.mean(loss_fn(best, {"input_ids": ids})))
     assert l1 < l0
+
+
+def test_train_runner_resume_restores_optimizer_and_epoch(tmp_path):
+    """Resumed training must continue from the saved epoch with the saved
+    optimizer state: run A trains 3 epochs straight; run B trains 1 epoch,
+    then resumes for the remaining 2 — identical data order must give
+    identical final params (reference resume contract,
+    runner_base.py:897-967)."""
+    import optax
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.runners.runner import TrainRunner
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batches = {
+        e: [{"input_ids": jnp.asarray(
+            rng.integers(2, cfg.vocab_size, size=(4, 8)), jnp.int32)}]
+        for e in range(3)
+    }
+
+    def loss_fn(p, batch):
+        return llama.per_sample_loss(cfg, p, batch["input_ids"])
+
+    ra = TrainRunner(str(tmp_path / "a"), "a", max_epoch=3)
+    best_a = ra.train(loss_fn, params, lambda e: batches[e],
+                      optimizer=optax.adam(1e-2))
+
+    rb = TrainRunner(str(tmp_path / "b"), "b", max_epoch=1)
+    rb.train(loss_fn, params, lambda e: batches[e], optimizer=optax.adam(1e-2))
+    rb2 = TrainRunner(str(tmp_path / "b"), "b", max_epoch=3)
+    best_b = rb2.train(loss_fn, params, lambda e: batches[e],
+                       optimizer=optax.adam(1e-2), resume=True)
+
+    from ecoflap_tpu.core.pytree import flatten_named
+
+    fa, fb = flatten_named(best_a), flatten_named(best_b)
+    for k in fa:
+        np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)

@@ -1,0 +1,220 @@
+"""Accuracy-parity harness: prune -> export -> re-import -> evaluate -> diff
+against the reference's published numbers (BASELINE.md).
+
+The zero-egress image ships no reference checkpoints or datasets, so true
+parity cannot be demonstrated here — this harness is the ready-to-run drill
+for when they are available (VERDICT round-1 item 5):
+
+  # real run (BLIP-2 FlanT5-XL checkpoint + VQAv2 val annotations):
+  python tools/parity_drive.py --scale full \
+      --blip2_ckpt /data/blip2_pretrain_flant5xl.pth \
+      --vqa_ann /data/vqav2/annotations.json --vis_root /data/coco \
+      [--caption_ann /data/coco_karpathy_test.json]
+
+  # end-to-end smoke on generated fake files (CPU, ~2 min):
+  python tools/parity_drive.py --fake
+
+Steps (reference pipeline, evaluate_blip.py:313-491):
+  1. build BLIP-2 (from --blip2_ckpt or random init);
+  2. ECoFLaP zeroth-order + Wanda prune @ --sparsity;
+  3. export the pruned model as a reference-named .pth
+     (pruned_checkpoint/ contract) and RE-IMPORT it, asserting the round
+     trip is exact — the artifact a reference user would load;
+  4. evaluate VQA (official VQAv2 scorer) and optionally captioning
+     (CIDEr/BLEU) from the re-imported params;
+  5. print each metric against BASELINE.md's table with the delta.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Reference accuracy table (BASELINE.md). BLIP-2 FlanT5-XL dense VQAv2 from
+# vqav2_zeroshot_flant5xl_eval.yaml:7-10; north-star tolerance 0.3 pt.
+BASELINE = {
+    "vqa_dense_overall": 63.13,
+    "north_star_delta_pt": 0.3,
+}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="ECoFLaP-TPU parity drive")
+    p.add_argument("--scale", default="tiny", choices=["tiny", "full"])
+    p.add_argument("--blip2_ckpt", default=None, help="reference .pth")
+    p.add_argument("--vqa_ann", default=None)
+    p.add_argument("--caption_ann", default=None)
+    p.add_argument("--vis_root", default="")
+    p.add_argument("--sparsity", type=float, default=0.5)
+    p.add_argument("--num_samples", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_beams", type=int, default=5)
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--output_dir", default="output/parity")
+    p.add_argument("--fake", action="store_true",
+                   help="generate tiny fake images/annotations and run the "
+                        "whole pipeline on them (CPU smoke)")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def make_fake_data(root: str, n: int = 8, img_px: int = 32):
+    """Tiny PNGs + LAVIS-format VQA/caption annotation JSONs."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    vqa, cap = [], []
+    answers = ["cat", "dog", "red", "two"]
+    for i in range(n):
+        rel = f"images/{i}.png"
+        Image.fromarray(
+            rng.integers(0, 255, size=(img_px, img_px, 3), dtype=np.uint8)
+        ).save(os.path.join(root, rel))
+        vqa.append({
+            "image": rel,
+            "question": f"what animal is {i}?",
+            "answers": [answers[i % 4]] * 10,
+            "question_id": i,
+        })
+        cap.append({"image": rel,
+                    "caption": [f"a photo of a {answers[i % 4]}"],
+                    "image_id": i})
+    vqa_path = os.path.join(root, "vqa.json")
+    cap_path = os.path.join(root, "cap.json")
+    json.dump(vqa, open(vqa_path, "w"))
+    json.dump(cap, open(cap_path, "w"))
+    return vqa_path, cap_path, root
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.fake:
+        args.platform = args.platform or "cpu"
+        args.scale = "tiny"
+        args.num_samples, args.batch_size, args.num_beams = 8, 4, 2
+        tmp = tempfile.mkdtemp(prefix="ecoflap_parity_")
+        args.vqa_ann, args.caption_ann, args.vis_root = make_fake_data(tmp)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ecoflap_tpu.core.pytree import flatten_named
+    from ecoflap_tpu.data import calibration as cal
+    from ecoflap_tpu.models import blip2
+    from ecoflap_tpu.pruning.pruners import WandaPruner
+    from ecoflap_tpu.runners.runner import Runner
+    from ecoflap_tpu.utils import checkpoint as ck
+
+    t0 = time.time()
+    runner = Runner(args.output_dir, "parity")
+    dtype = jnp.bfloat16 if args.scale == "full" else jnp.float32
+
+    # 1. model
+    cfg = blip2.blip2_flant5xl() if args.scale == "full" else blip2.tiny_config()
+    if args.blip2_ckpt:
+        params = ck.convert_blip2(
+            ck.load_torch_checkpoint(args.blip2_ckpt), cfg, dtype=dtype)
+    else:
+        print("[parity] no --blip2_ckpt: random init (accuracy rows will be "
+              "meaningless; pipeline mechanics still verified)")
+        params = jax.jit(
+            lambda k: blip2.init_params(cfg, k, dtype=dtype)
+        )(jax.random.PRNGKey(args.seed))
+
+    # 2. calibration + prune (ECoFLaP zeroth + Wanda, the headline config)
+    tok = cal.load_t5_tokenizer(vocab_size=cfg.t5.vocab_size)
+    spec = cal.CalibrationSpec(args.num_samples, args.batch_size)
+    samples = cal.synthetic_vl_samples(args.num_samples, cfg.vit.img_size,
+                                       args.seed)
+    batch = cal.build_vl_calibration_batch(samples, tok, spec, args.seed)
+    if args.scale != "full":
+        batch = {**batch,
+                 "text_input_ids": batch["text_input_ids"] % cfg.t5.vocab_size,
+                 "labels": jnp.where(batch["labels"] == -100, -100,
+                                     batch["labels"] % cfg.t5.vocab_size)}
+    adapter = blip2.make_adapter(cfg, params)
+    pruner = WandaPruner(
+        adapter, batch, num_microbatches=spec.num_microbatches,
+        stack_specs={
+            "visual_encoder.blocks": f"{cfg.vit.depth}-{1 - args.sparsity}-1.0-1.0",
+            "t5_model.encoder.block":
+                f"{cfg.t5.num_layers}-{1 - args.sparsity}-1.0-1.0",
+            "t5_model.decoder.block":
+                f"{cfg.t5.num_decoder_layers}-{1 - args.sparsity}-1.0-1.0",
+        },
+        sparsity_ratio_granularity="block", max_sparsity_per_layer=0.6,
+        score_method="MEZO-GradOnly_sum", num_data_first_stage=args.num_samples,
+        eval_chunk_size=32, verbose=False,
+    )
+    pruned, sparsity_dict = pruner.prune()
+    sp = pruner.check_sparsity()
+    runner.save_sparsity_dict(sparsity_dict)
+    print(f"[parity] pruned: global sparsity {sp:.4f} +{time.time()-t0:.0f}s")
+
+    # 3. export -> .pth -> re-import, exactness drill
+    state = ck.export_blip2(pruned, cfg)
+    pth = runner.save_pruned_torch(state, "parity_pruned")
+    back = ck.convert_blip2(ck.load_torch_checkpoint(pth), cfg, dtype=dtype)
+    fa, fb = flatten_named(pruned), flatten_named(back)
+    worst = 0.0
+    for k in fa:
+        err = float(jnp.max(jnp.abs(fa[k].astype(jnp.float32)
+                                    - fb[k].astype(jnp.float32))))
+        worst = max(worst, err)
+    assert worst == 0.0, f".pth round trip not exact: max abs err {worst}"
+    print(f"[parity] .pth round trip exact ({len(state)} tensors) -> {pth}")
+
+    # 4. evaluate from the re-imported artifact via the evaluation CLI
+    from ecoflap_tpu.cli import evaluate as eval_cli
+
+    metrics = {}
+    common = ["--model", "blip2_t5", "--model_scale", args.scale,
+              "--checkpoint", pth, "--vis_root", args.vis_root,
+              "--batch_size", str(args.batch_size),
+              "--num_beams", str(args.num_beams),
+              "--output_dir", args.output_dir]
+    if args.platform:
+        common += ["--platform", args.platform]
+    if args.vqa_ann:
+        metrics["vqa"] = eval_cli.main(
+            common + ["--task", "vqa", "--ann", args.vqa_ann])
+    if args.caption_ann:
+        metrics["captioning"] = eval_cli.main(
+            common + ["--task", "captioning", "--ann", args.caption_ann,
+                      "--max_new_tokens", "20"])
+
+    # 5. diff vs BASELINE
+    print(f"\n[parity] results (+{time.time()-t0:.0f}s):")
+    if "vqa" in metrics:
+        acc = metrics["vqa"].get("overall", metrics["vqa"].get("agg_metrics"))
+        ref = BASELINE["vqa_dense_overall"]
+        print(f"  VQAv2 overall: {acc:.2f}  (reference dense {ref:.2f}, "
+              f"delta {acc - ref:+.2f} pt, north-star tolerance "
+              f"±{BASELINE['north_star_delta_pt']})")
+    if "captioning" in metrics:
+        m = metrics["captioning"]
+        print(f"  COCO caption: CIDEr {m.get('CIDEr', 0):.1f} "
+              f"Bleu_4 {m.get('Bleu_4', 0):.3f}")
+    if not args.blip2_ckpt:
+        print("  (random-init run: numbers are pipeline smoke only)")
+    print(json.dumps({"sparsity": round(sp, 4), "metrics": {
+        k: {mk: float(mv) for mk, mv in v.items()} for k, v in metrics.items()
+    }}))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
