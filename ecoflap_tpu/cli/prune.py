@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     # calibration
     p.add_argument("--calib", default="synthetic",
                    help="synthetic | path to annotation json / jsonl")
+    p.add_argument("--vis_root", default="",
+                   help="image root for --calib annotations")
     p.add_argument("--num_samples", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--seqlen", type=int, default=2048)  # LLaMA (main.py:27)
@@ -117,8 +119,31 @@ def _configs(args):
             params = blip2.init_params(cfg, key, dtype=dtype)
         tok = cal.load_t5_tokenizer(vocab_size=cfg.t5.vocab_size)
         spec = cal.CalibrationSpec(args.num_samples, args.batch_size)
-        samples = cal.synthetic_vl_samples(args.num_samples, cfg.vit.img_size,
-                                           args.seed)
+        if args.calib != "synthetic":
+            # LAVIS-style caption annotations + real images via the dataset
+            # builder + eval processor (the reference's prefix-CC3M loader,
+            # prefix_language_pretraining.py:29-55)
+            from ecoflap_tpu.core.registry import registry
+            from ecoflap_tpu.data import datasets as _datasets  # noqa: F401 (registers builders)
+            from ecoflap_tpu.data.processors import ImageEvalProcessor
+
+            ds = registry.get("builder", "coco_caption")(
+                {"vis_root": args.vis_root, "ann_paths": [args.calib]},
+                vis_processor=ImageEvalProcessor(image_size=cfg.vit.img_size))
+            samples = []
+            for i in range(min(len(ds), args.num_samples)):
+                item = ds[i]
+                caps = item.get("gt_captions") or [item.get("text_input", "")]
+                samples.append({"image": item["image"],
+                                "caption": caps[0] if isinstance(caps, list)
+                                else caps})
+            # cycle to the requested count (the reference's count-limited
+            # wrapper loops the loader, runner_base.py:645-693)
+            while len(samples) < args.num_samples:
+                samples.append(samples[len(samples) % max(len(ds), 1)])
+        else:
+            samples = cal.synthetic_vl_samples(
+                args.num_samples, cfg.vit.img_size, args.seed)
         batch = cal.build_vl_calibration_batch(samples, tok, spec, args.seed)
         if scale != "full":
             batch = {**batch,

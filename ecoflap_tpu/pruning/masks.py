@@ -10,8 +10,11 @@ duplicated in global_pruner.py:116-157):
 * layerwise mask: per-tensor threshold, same strict comparison.
 
 Masks are float (1.0 = keep), matching the reference's multiply-in-place
-convention.  All ops are jnp and jit-friendly; the concatenation for the
-global threshold happens on flattened f32 copies (scores are already f32).
+convention. Importance scores are nonnegative (|W|, |W·G|, squares, |MeZO|),
+so thresholds come from the sort-free bit-bisection selectors
+(pruning/select.py) — the reference's ``torch.sort(concat(all))`` would both
+pay a TPU sort AND materialize an O(total-params) concatenation (~15 GB at
+BLIP-2 XL scale).
 """
 
 from __future__ import annotations
@@ -19,6 +22,12 @@ from __future__ import annotations
 from typing import Dict, Mapping
 
 import jax.numpy as jnp
+
+from ecoflap_tpu.pruning.select import (
+    _bits,
+    kth_smallest_bits,
+    kth_smallest_bits_global,
+)
 
 _FINFO_MAX = float(jnp.finfo(jnp.float32).max)
 
@@ -30,23 +39,27 @@ def global_mask(
 ) -> Dict[str, jnp.ndarray]:
     """One global threshold over all tensors, with per-tensor keep-floors."""
     protected = {}
+    total = 0
     for k, v in importance.items():
         v = v.astype(jnp.float32)
+        total += v.size
         num_keep_floor = int(v.size * (1.0 - max_sparsity_per_layer))
         if num_keep_floor > 0:
-            flat = v.reshape(-1)
-            thr = jnp.sort(flat)[::-1][num_keep_floor - 1]
-            v = jnp.where(v >= thr, _FINFO_MAX, v)
+            # (num_keep_floor)-th largest == ascending rank (size - floor)
+            kth = kth_smallest_bits(
+                _bits(v).reshape(1, -1), v.size - num_keep_floor)[0]
+            v = jnp.where(_bits(v) >= kth, _FINFO_MAX, v)
         protected[k] = v
 
-    all_scores = jnp.concatenate([v.reshape(-1) for v in protected.values()])
-    num_zero = int(p * all_scores.size)
+    num_zero = int(p * total)
     if num_zero <= 0:
         return {k: jnp.ones_like(v) for k, v in protected.items()}
-    threshold = jnp.sort(all_scores)[num_zero - 1]
-
+    threshold = kth_smallest_bits_global(
+        tuple(_bits(v).reshape(-1) for v in protected.values()), num_zero - 1
+    )
     return {
-        k: (v > threshold).astype(jnp.float32) for k, v in protected.items()
+        k: (_bits(v) > threshold).astype(jnp.float32)
+        for k, v in protected.items()
     }
 
 
@@ -61,8 +74,8 @@ def layerwise_mask(
         if num_zero <= 0:
             masks[k] = jnp.ones_like(v)
             continue
-        thr = jnp.sort(v.reshape(-1))[num_zero - 1]
-        masks[k] = (v > thr).astype(jnp.float32)
+        thr = kth_smallest_bits(_bits(v).reshape(1, -1), num_zero - 1)[0]
+        masks[k] = (_bits(v) > thr).astype(jnp.float32)
     return masks
 
 

@@ -53,12 +53,17 @@ def accumulate_hessian(
 
 def _clamp_infs(h: jax.Array) -> jax.Array:
     """Replace ±inf with the 0.999/0.001 quantiles
-    (sparsegpt_pruner.py:104-112,136-144)."""
-    hi = jnp.quantile(h, 0.999)
-    lo = jnp.quantile(h, 0.001)
-    h = jnp.where(jnp.isposinf(h), hi, h)
-    h = jnp.where(jnp.isneginf(h), lo, h)
-    return h
+    (sparsegpt_pruner.py:104-112,136-144). The quantiles cost a full sort of
+    the (in, in) matrix — ``lax.cond`` skips it entirely on the (normal)
+    inf-free path instead of paying a TPU sort per weight."""
+
+    def clamp(h):
+        hi = jnp.quantile(h, 0.999)
+        lo = jnp.quantile(h, 0.001)
+        h = jnp.where(jnp.isposinf(h), hi, h)
+        return jnp.where(jnp.isneginf(h), lo, h)
+
+    return lax.cond(jnp.isinf(h).any(), clamp, lambda h: h, h)
 
 
 def robust_cholesky(h: jax.Array, damp: jax.Array, max_tries: int = 50) -> jax.Array:
@@ -206,15 +211,17 @@ def sparsegpt_prune_weight(
         hinv_blk = hinv_u[i1:i2, i1:i2]
 
         if prune_n == 0:
+            from ecoflap_tpu.pruning.select import threshold_mask_per_tensor
+
             sal = w_blk**2 / (jnp.diag(hinv_blk)[None, :] ** 2)
-            flat = sal.reshape(-1)
             idx = jnp.clip(
-                jnp.floor(flat.shape[0] * sparsity).astype(jnp.int32),
+                jnp.floor(sal.size * sparsity).astype(jnp.int32),
                 0,
-                flat.shape[0] - 1,
+                sal.size - 1,
             )
-            thres = jnp.sort(flat)[idx]
-            mask_blk = sal <= thres
+            # sort-free kth-value threshold (pruning/select.py) — the
+            # reference sorts the whole block (sparsegpt_pruner.py:172)
+            mask_blk = threshold_mask_per_tensor(sal, idx)
         else:
             mask_blk = jnp.zeros((rows, count), dtype=bool)
 

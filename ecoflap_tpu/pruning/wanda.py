@@ -71,21 +71,24 @@ def mask_per_row(metric: jax.Array, ratio: jax.Array) -> jax.Array:
     """Per-row mask: prune the ``int(cols * ratio)`` smallest per row.
 
     Ties broken by position (stable), identical to the reference's
-    ``torch.sort(..., stable=True)`` index-scatter (wanda_pruner.py:272-277).
+    ``torch.sort(..., stable=True)`` index-scatter (wanda_pruner.py:272-277)
+    — computed sort-free (pruning/select.py; TPU sorts are the bottleneck).
     """
+    from ecoflap_tpu.pruning.select import smallest_k_mask_per_row
+
     cols = metric.shape[-1]
     k = jnp.floor(cols * ratio).astype(jnp.int32)
-    rank = _stable_rank(metric, axis=-1)
-    return rank < k
+    return smallest_k_mask_per_row(metric, k)
 
 
 def mask_per_tensor(metric: jax.Array, ratio: jax.Array) -> jax.Array:
-    """Per-tensor mask: ``metric <= kth_value`` (wanda_pruner.py:553-556)."""
-    flat = metric.reshape(-1)
-    idx = jnp.floor(flat.shape[0] * ratio).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, flat.shape[0] - 1)
-    thres = jnp.sort(flat)[idx]
-    return metric <= thres
+    """Per-tensor mask: ``metric <= kth_value`` (wanda_pruner.py:553-556),
+    sort-free (pruning/select.py)."""
+    from ecoflap_tpu.pruning.select import threshold_mask_per_tensor
+
+    n = metric.size
+    idx = jnp.clip(jnp.floor(n * ratio).astype(jnp.int32), 0, n - 1)
+    return threshold_mask_per_tensor(metric, idx)
 
 
 def mask_n_m(metric: jax.Array, prune_n: int, prune_m: int) -> jax.Array:
