@@ -42,6 +42,21 @@ class Runner:
         self.log_metrics(metrics)
         return metrics
 
+    def evaluate_splits(self, task, split_data: Dict[str, Any],
+                        cur_epoch: Any = "best") -> Dict[str, Dict[str, float]]:
+        """Split-aware evaluation loop — the reference's testing phase
+        (RunnerBase.evaluate, runner_base.py:419-428): one ``eval_epoch`` per
+        test split, each logged under its split name."""
+        logs: Dict[str, Dict[str, float]] = {}
+        for split_name, data in split_data.items():
+            t0 = time.time()
+            metrics = task.evaluation(data)
+            metrics["eval_time_s"] = round(time.time() - t0, 2)
+            metrics["epoch"] = cur_epoch
+            self.log_metrics(metrics, split=split_name)
+            logs[split_name] = metrics
+        return logs
+
     def log_metrics(self, metrics: Dict[str, float], split: str = "val") -> None:
         """Append JSON line to evaluate.txt (vqa.py:178-181 convention)."""
         path = os.path.join(self.output_dir, "evaluate.txt")
@@ -161,10 +176,19 @@ class TrainRunner(Runner):
     def train(self, loss_fn, params, epoch_batches_fn, task=None,
               eval_data_fn=None, optimizer=None, masks=None,
               learning_rate: float = 1e-5, weight_decay: float = 0.05,
-              resume: bool = False):
-        """epoch_batches_fn(epoch) -> iterable of batches;
-        eval_data_fn() -> data for task.evaluation. ``resume=True`` restarts
-        from the last saved train state (optimizer + epoch included).
+              resume: bool = False, valid_splits_fn=None,
+              test_splits_fn=None, set_params_fn=None):
+        """epoch_batches_fn(epoch) -> iterable of batches. ``resume=True``
+        restarts from the last saved train state (optimizer + epoch included).
+
+        Split-aware evaluation (RunnerBase.train, runner_base.py:360-417):
+        ``valid_splits_fn() -> {split: data}`` evaluates every valid split per
+        epoch; best-checkpoint selection keys on the "val" split's
+        ``agg_metrics`` (falling back to the first split), and each val log
+        records ``best_epoch``. After the last epoch, ``test_splits_fn`` runs
+        the testing phase on the BEST params (the reference reloads
+        checkpoint_best). ``eval_data_fn`` is the single-split shorthand —
+        equivalent to ``valid_splits_fn=lambda: {"val": eval_data_fn()}``.
         Returns best params."""
         import optax
 
@@ -183,27 +207,56 @@ class TrainRunner(Runner):
                 params, opt_state)
         step = make_train_step(loss_fn, optimizer, donate=False)
         best_params = params
+        if eval_data_fn is not None and valid_splits_fn is None:
+            valid_splits_fn = lambda: {"val": eval_data_fn()}  # noqa: E731
 
         for epoch in range(start_epoch, self.max_epoch):
             losses = []
             for batch in epoch_batches_fn(epoch):
                 params, opt_state, loss = step(params, opt_state, masks, batch)
                 losses.append(float(loss))
-            metrics: Dict[str, Any] = {
+            train_metrics: Dict[str, Any] = {
                 "epoch": epoch,
                 "train_loss": sum(losses) / max(len(losses), 1),
             }
-            if task is not None and eval_data_fn is not None:
-                metrics.update(task.evaluation(eval_data_fn()))
-                agg = metrics.get("agg_metrics", -metrics["train_loss"])
+            self.log_metrics(train_metrics, split="train")
+
+            if task is not None and valid_splits_fn is not None:
+                for split_name, data in valid_splits_fn().items():
+                    val_log = dict(train_metrics)
+                    val_log.update(task.evaluation(data))
+                    # best-ckpt selection keys on the "val" split ONLY
+                    # (runner_base.py:392-397); single-split callers get it
+                    # by default via the eval_data_fn shorthand
+                    agg = val_log.get("agg_metrics",
+                                      -val_log["train_loss"])
+                    if split_name == "val" and agg > self.best_agg:
+                        self.best_agg, self.best_epoch = agg, epoch
+                        best_params = params
+                        self.save_checkpoint(params, "checkpoint_best")
+                    val_log["best_epoch"] = self.best_epoch
+                    self.log_metrics(val_log, split=split_name)
             else:
-                agg = -metrics["train_loss"]
-            self.log_metrics(metrics, split=f"epoch_{epoch}")
-            if agg > self.best_agg:
-                self.best_agg, self.best_epoch = agg, epoch
-                best_params = params
-                self.save_checkpoint(params, "checkpoint_best")
+                # no valid splits: track by train loss so best_params/"best"
+                # semantics stay meaningful (reference instead saves a
+                # per-epoch checkpoint, runner_base.py:402-405 — our
+                # save_train_state below covers that)
+                agg = -train_metrics["train_loss"]
+                if agg > self.best_agg:
+                    self.best_agg, self.best_epoch = agg, epoch
+                    best_params = params
+                    self.save_checkpoint(params, "checkpoint_best")
             self.save_train_state(params, opt_state, epoch)
+
+        if task is not None and test_splits_fn is not None:
+            # testing phase on the BEST params (runner_base.py:411-417 —
+            # the reference reloads checkpoint_best into the model; tasks
+            # here close over params via predict_fn, so the caller rebinds
+            # through set_params_fn)
+            if set_params_fn is not None:
+                set_params_fn(best_params)
+            self.evaluate_splits(task, test_splits_fn(),
+                                 cur_epoch=self.best_epoch)
         return best_params
 
 

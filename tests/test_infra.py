@@ -273,3 +273,72 @@ def test_train_runner_resume_restores_optimizer_and_epoch(tmp_path):
     for k in fa:
         np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
                                    rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_train_runner_split_aware_eval(tmp_path):
+    """Reference split semantics (runner_base.py:378-417): best-ckpt
+    selection keys ONLY on the "val" split's agg_metrics, every valid split's
+    log records best_epoch, and the testing phase runs once on the BEST
+    params over the test splits."""
+    import json as _json
+
+    import optax
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.runners.runner import TrainRunner
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, size=(4, 8)), jnp.int32)
+
+    def loss_fn(p, batch):
+        return llama.per_sample_loss(cfg, p, batch["input_ids"])
+
+    # val agg peaks at epoch 1 then drops; val_seen rises monotonically and
+    # must NOT drive best selection
+    val_aggs = {0: 1.0, 1: 5.0, 2: 2.0}
+    seen_aggs = {0: 1.0, 1: 2.0, 2: 9.0}
+    state = {"epoch": -1, "test_evals": []}
+
+    class FakeTask:
+        def evaluation(self, data):
+            if data["split"] == "test":
+                state["test_evals"].append(data["params_tag"][0])
+                return {"agg_metrics": 0.0}
+            aggs = val_aggs if data["split"] == "val" else seen_aggs
+            return {"agg_metrics": aggs[state["epoch"]]}
+
+    def epoch_batches(e):
+        state["epoch"] = e
+        return [{"input_ids": ids}]
+
+    tag = ["init"]
+
+    r = TrainRunner(str(tmp_path), "split", max_epoch=3)
+    best = r.train(
+        loss_fn, params, epoch_batches, task=FakeTask(),
+        optimizer=optax.adam(1e-2),
+        valid_splits_fn=lambda: {"val": {"split": "val"},
+                                 "val_seen": {"split": "val_seen"}},
+        test_splits_fn=lambda: {"test": {"split": "test", "params_tag": tag}},
+        set_params_fn=lambda p: tag.__setitem__(0, "best"),
+    )
+    assert r.best_epoch == 1  # val peak, not val_seen's epoch-2 peak
+    assert state["test_evals"] == ["best"]  # test ran once, after rebind
+    logs = [
+        _json.loads(line)
+        for line in open(tmp_path / "evaluate.txt").read().splitlines()
+    ]
+    val_logs = [v for l in logs for k, v in l.items() if k == "val"]
+    assert [v["best_epoch"] for v in val_logs] == [0, 1, 1]
+    test_logs = [v for l in logs for k, v in l.items() if k == "test"]
+    assert len(test_logs) == 1 and test_logs[0]["epoch"] == 1
+    # best params come from epoch 1, not the final epoch
+    from ecoflap_tpu.core.pytree import flatten_named
+
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(flatten_named(best).values(),
+                        flatten_named(params).values())
+    )
