@@ -142,38 +142,49 @@ STACK_ORDER = ["visual_encoder.blocks", "t5_model.encoder.block",
 
 
 def isolated_run() -> None:
-    """ECOFLAP_SPARSEGPT_ISOLATE=1: one subprocess per stack, chained through
-    orbax checkpoints. The axon tunnel's cumulative-allocation budget
-    (~40 GB) is per-PROCESS; stack isolation resets it, which is what lets
-    SparseGPT-at-XL survive the T5 decoder phase (ROUND1_NOTES.md)."""
+    """ECOFLAP_SPARSEGPT_ISOLATE=1: one subprocess per stack GROUP, chained
+    through orbax checkpoints. The axon tunnel's cumulative-allocation budget
+    (~40 GB) is per-PROCESS; isolation resets it, which is what lets
+    SparseGPT-at-XL survive the T5 decoder phase (ROUND1_NOTES.md).
+
+    ECOFLAP_ISOLATE_GROUPS partitions the stacks into processes:
+    "/"-separated groups of ","-joined stack names (default: one process per
+    stack). Only the decoder phase needs the budget reset, so
+    "visual_encoder.blocks,t5_model.encoder.block/t5_model.decoder.block"
+    pays one restart instead of two."""
     import shutil
     import subprocess
     import tempfile
 
     method = os.environ.get("ECOFLAP_BENCH_METHOD", "sparsegpt")
     baselines = {"zeroth": 6114.9, "wanda": 240.2, "sparsegpt": 802.6}
+    groups = [
+        g.split(",") for g in
+        os.environ.get("ECOFLAP_ISOLATE_GROUPS",
+                       "/".join(STACK_ORDER)).split("/")
+    ]
     tmp = tempfile.mkdtemp(prefix="ecoflap_isolate_")
     t0 = time.time()
     zeros = total = 0
     prev = None
     try:
-        for i, stack in enumerate(STACK_ORDER):
+        for i, group in enumerate(groups):
             env = dict(os.environ)
             env.pop("ECOFLAP_SPARSEGPT_ISOLATE", None)
-            env["ECOFLAP_BENCH_STACKS"] = stack
+            env["ECOFLAP_BENCH_STACKS"] = ",".join(group)
             save = os.path.join(tmp, f"stage{i}")
-            if i < len(STACK_ORDER) - 1:
+            if i < len(groups) - 1:
                 env["ECOFLAP_BENCH_SAVE_CKPT"] = save
             if prev:
                 env["ECOFLAP_BENCH_LOAD_CKPT"] = prev
-            log(f"[isolate] stage {i}: {stack}")
+            log(f"[isolate] stage {i}: {env['ECOFLAP_BENCH_STACKS']}")
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
                 capture_output=True, text=True)
             sys.stderr.write(res.stderr)
             if res.returncode != 0:
                 sys.stderr.write(res.stdout)
-                raise RuntimeError(f"stage {stack} rc={res.returncode}")
+                raise RuntimeError(f"stage {group} rc={res.returncode}")
             r = json.loads(res.stdout.strip().splitlines()[-1])
             zeros += r.get("zeros", 0)
             total += r.get("total", 0)
@@ -232,15 +243,21 @@ def main() -> None:
     if stacks_env:
         keep = set(stacks_env.split(","))
         specs = {k: (v if k in keep else None) for k, v in specs.items()}
+    # Fused per-block programs (collect+prune+re-forward in one donated jit)
+    # default ON: TPU-validated at XL — Wanda fine stage 82 s vs ~130 s
+    # per-linear; SparseGPT 429.6/613.1/585.1 s green 3/3 vs the per-linear
+    # path's ~1900 s AND the decoder-phase RESOURCE_EXHAUSTED (Hessians stay
+    # jit-internal, the cumulative budget never trips). ROUND2_NOTES.md has
+    # the run table. Override with ECOFLAP_FUSE=0/1/list-of-stacks.
+    fuse_env = os.environ.get("ECOFLAP_FUSE", "1")
     common = dict(
         num_microbatches=max(1, n_samples // batch_size),
         stack_specs=specs,
         eval_chunk_size=int(os.environ.get("ECOFLAP_EVAL_CHUNK", "32")),
         fuse_block_step=(
-            True if os.environ.get("ECOFLAP_FUSE", "0") == "1"
-            else os.environ["ECOFLAP_FUSE"].split(",")
-            if os.environ.get("ECOFLAP_FUSE", "0") not in ("0", "1")
-            else False
+            True if fuse_env == "1"
+            else False if fuse_env == "0"
+            else fuse_env.split(",")
         ),
         # both default ON for the bench: the bench never reuses the dense
         # params afterwards, and bf16 Hessians halve SparseGPT's stat churn

@@ -252,9 +252,14 @@ def _per_stack_orchestrate(args) -> Dict[str, Any]:
     import subprocess
     import sys
 
-    stacks = (args.stacks.split(",") if args.stacks
-              else STACK_NAMES.get(args.model))
-    if not stacks:
+    # "/" partitions stacks into process groups ("a,b/c" = one process for
+    # a+b, one for c); plain comma lists keep one process per stack
+    if args.stacks:
+        groups = [g.split(",") for g in args.stacks.split("/")] \
+            if "/" in args.stacks else [[s] for s in args.stacks.split(",")]
+    else:
+        groups = [[s] for s in STACK_NAMES.get(args.model, [])]
+    if not groups:
         raise SystemExit(f"--per_stack_process needs --stacks for {args.model}")
 
     base = [sys.executable, "-m", "ecoflap_tpu.cli.prune"]
@@ -283,13 +288,14 @@ def _per_stack_orchestrate(args) -> Dict[str, Any]:
         results.append(r)
 
     prev_ckpt = args.load_pruned
-    for i, stack in enumerate(stacks):
-        extra = ["--stacks", stack, "--save_pruned", "--job_id", f"stage{i}"]
+    for i, group in enumerate(groups):
+        extra = ["--stacks", ",".join(group), "--save_pruned",
+                 "--job_id", f"stage{i}"]
         if sparsity_dict:
             extra += ["--sparsity_dict", sparsity_dict]
         if prev_ckpt:
             extra += ["--load_pruned", prev_ckpt]
-        r = run(extra, stack)
+        r = run(extra, ",".join(group))
         prev_ckpt = r["checkpoint"]
         results.append(r)
 

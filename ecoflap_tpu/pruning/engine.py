@@ -173,7 +173,10 @@ def _stream_prune_stack(
     the re-forward into ONE donated program per block, so the per-linear
     Hessians (SparseGPT's ~200 MB/block) never leave jit workspace —
     eliminating the last per-block allocation against the axon tunnel's
-    cumulative budget. Off by default pending TPU validation.
+    cumulative budget. TPU-validated at XL (both methods faster and
+    SparseGPT's decoder phase survives; ROUND2_NOTES.md run table) — the
+    pruner default is ON (pruners.py); this low-level function keeps False
+    for direct callers without stacked-storage metadata expectations.
 
     The per-block update donates the stack's stacked leaves to one jitted
     program (all layers of the block pruned in place), and the re-forward

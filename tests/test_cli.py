@@ -1,0 +1,33 @@
+"""Prune-CLI integration: per-stack-process orchestration with group syntax.
+
+The orchestrator (cli/prune.py `_per_stack_orchestrate`) is the CLI face of
+the SparseGPT-at-XL memory relief: each stack GROUP runs in its own process
+(fresh device-allocation budget), chained through orbax checkpoints. The
+"a,b/c" syntax puts a+b in one process and c in another.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def test_per_stack_process_groups(tmp_path):
+    from ecoflap_tpu.cli.prune import main as prune_main
+
+    result = prune_main([
+        "--model", "blip2_t5", "--model_scale", "tiny",
+        "--pruning_method", "blipt5_wanda_pruner",
+        "--prune_spec", "2-0.5-1.0-1.0",
+        "--vit_prune_spec", "3-0.5-1.0-1.0",
+        "--num_samples", "8", "--batch_size", "4",
+        "--per_stack_process",
+        "--stacks",
+        "visual_encoder.blocks,t5_model.encoder.block/t5_model.decoder.block",
+        "--platform", "cpu",  # subprocesses must not grab the TPU
+        "--output_dir", str(tmp_path),
+    ])
+    assert len(result["stages"]) == 2  # one per GROUP, not per stack
+    assert 0.40 < result["prunable_sparsity"] < 0.60
+    # chained checkpoint from the final stage exists
+    assert result["checkpoint"]
