@@ -31,3 +31,27 @@ def test_per_stack_process_groups(tmp_path):
     assert 0.40 < result["prunable_sparsity"] < 0.60
     # chained checkpoint from the final stage exists
     assert result["checkpoint"]
+
+
+def test_cli_annotation_calibration(tmp_path):
+    """The non-synthetic --calib branch: LAVIS caption JSON + real image
+    files through the builder + eval processor into the calibration batch
+    (reference prefix_language_pretraining.py:29-55 path)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from realdata_smoke import make_fixtures
+
+    from ecoflap_tpu.cli.prune import main as prune_main
+
+    ann = make_fixtures(str(tmp_path), n=8)
+    result = prune_main([
+        "--model", "blip2_t5", "--model_scale", "tiny",
+        "--pruning_method", "blipt5_wanda_pruner",
+        "--prune_spec", "2-0.5-1.0-1.0",
+        "--vit_prune_spec", "3-0.5-1.0-1.0",
+        "--calib", ann, "--vis_root", str(tmp_path),
+        "--num_samples", "8", "--batch_size", "4",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    assert 0.40 < result["prunable_sparsity"] < 0.60
