@@ -157,7 +157,8 @@ def isolated_run() -> None:
     import tempfile
 
     method = os.environ.get("ECOFLAP_BENCH_METHOD", "sparsegpt")
-    baselines = {"zeroth": 6114.9, "wanda": 240.2, "sparsegpt": 802.6}
+    baselines = {"zeroth": 6114.9, "wanda": 240.2, "sparsegpt": 802.6,
+                 "first": 450.3}
     groups = [
         g.split(",") for g in
         os.environ.get("ECOFLAP_ISOLATE_GROUPS",
@@ -212,7 +213,9 @@ def main() -> None:
     preset = os.environ.get("ECOFLAP_BENCH_PRESET", "xl")
     n_samples = int(os.environ.get("ECOFLAP_BENCH_SAMPLES", "128"))
     # "zeroth" (headline: MeZO coarse + Wanda fine, baseline 6114.9s) |
-    # "wanda" (uniform, 240.2s) | "sparsegpt" (uniform, 802.6s)
+    # "wanda" (uniform, 240.2s) | "sparsegpt" (uniform, 802.6s) |
+    # "first" (first-order GradMagAbs coarse + Wanda fine, 450.3s / 22.4 GB
+    # on the reference GPU — scripts/blip2/ecoflap_first.py)
     method = os.environ.get("ECOFLAP_BENCH_METHOD", "zeroth")
     batch_size = 8  # reference calib bs (scripts/blip2/ecoflap_zeroth.py)
 
@@ -232,7 +235,8 @@ def main() -> None:
     adapter = blip2.make_adapter(cfg, params)
     log(f"setup done at +{time.time() - t_start:.1f}s")
 
-    baselines = {"zeroth": 6114.9, "wanda": 240.2, "sparsegpt": 802.6}
+    baselines = {"zeroth": 6114.9, "wanda": 240.2, "sparsegpt": 802.6,
+                 "first": 450.3}
     baseline_s = baselines[method]
     specs = {
         "visual_encoder.blocks": f"{cfg.vit.depth}-0.5-1.0-1.0",
@@ -274,6 +278,19 @@ def main() -> None:
             sparsity_ratio_granularity="block",
             max_sparsity_per_layer=0.6,
             score_method="MEZO-GradOnly_sum",
+            num_data_first_stage=n_samples,
+            # "shared" (default, fast) | "per_batch" (reference-exact
+            # sampling; validated at XL on TPU — the donated in-place
+            # antithetic cycle keeps it inside the allocation budget)
+            noise_mode=os.environ.get("ECOFLAP_NOISE_MODE", "shared"),
+            **common,
+        )
+    elif method == "first":
+        pruner = WandaPruner(
+            adapter, batch,
+            sparsity_ratio_granularity="block",
+            max_sparsity_per_layer=0.6,
+            score_method="GradMagAbs_sum",
             num_data_first_stage=n_samples,
             **common,
         )
