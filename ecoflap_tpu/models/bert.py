@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from ecoflap_tpu.models.adapters import make_stack
-from ecoflap_tpu.models.layers import attention, collect_stats, layer_norm, mask_bias
+from ecoflap_tpu.models.layers import (
+    attention,
+    collect_stats,
+    layer_norm,
+    mask_bias,
+    tower_scan,
+)
 
 PyTree = Any
 
@@ -207,7 +213,7 @@ def forward(
         y, _ = block_forward(cfg, bp, x, cache)
         return y, None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x, _ = tower_scan(body, x, params["blocks"])
     return x
 
 

@@ -345,7 +345,9 @@ def nlvr_forward(cfg: Blip1Config, params: PyTree, batch) -> jax.Array:
         y, _ = nlvr_block_forward(cfg, bp, x, cache)
         return y, None
 
-    x, _ = jax.lax.scan(body, x, params["text_decoder"]["blocks"])
+    from ecoflap_tpu.models.layers import tower_scan
+
+    x, _ = tower_scan(body, x, params["text_decoder"]["blocks"])
     cls = x[:, 0]
     h = (jnp.dot(cls, params["cls_head"]["dense"]["kernel"],
                  preferred_element_type=jnp.float32)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ecoflap_tpu.models import eva_vit, opt as opt_mod, qformer
-from ecoflap_tpu.models.layers import layer_norm, mask_bias
+from ecoflap_tpu.models.layers import layer_norm, mask_bias, tower_scan
 from ecoflap_tpu.pruning.adapter import LossPlan, ModelAdapter
 
 PyTree = Any
@@ -114,7 +114,7 @@ def per_sample_loss(cfg: Blip2OptConfig, params: PyTree, batch: Any) -> jax.Arra
         y, _ = opt_mod.block_forward(cfg.opt, bp, h, bias)
         return y, None
 
-    h, _ = jax.lax.scan(body, x, op["layers"])
+    h, _ = tower_scan(body, x, op["layers"])
     h = layer_norm(op["final_ln"], h, cfg.opt.ln_eps)
     logits = jnp.dot(h, op["embed_tokens"].T, preferred_element_type=jnp.float32)
 
@@ -183,7 +183,7 @@ def make_adapter(cfg: Blip2OptConfig, params: PyTree) -> ModelAdapter:
                 y, _ = opt_mod.block_forward(cfg.opt, bp, h, bias)
                 return y, None
 
-            h, _ = jax.lax.scan(body, x, op["layers"])
+            h, _ = tower_scan(body, x, op["layers"])
             h = layer_norm(op["final_ln"], h, cfg.opt.ln_eps)
             logits = jnp.dot(h, op["embed_tokens"].T,
                              preferred_element_type=jnp.float32)

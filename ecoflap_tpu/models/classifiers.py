@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ecoflap_tpu.models import eva_vit
 from ecoflap_tpu.models.adapters import make_stack
-from ecoflap_tpu.models.layers import collect_stats, layer_norm
+from ecoflap_tpu.models.layers import collect_stats, layer_norm, tower_scan
 from ecoflap_tpu.pruning.adapter import ModelAdapter
 
 PyTree = Any
@@ -183,7 +183,7 @@ def forward(cfg: ConvNeXtConfig, params: PyTree, images: jax.Array) -> jax.Array
             y, _ = convnext_block(cfg, bp, x)
             return y, None
 
-        x, _ = jax.lax.scan(body, x, stage["blocks"])
+        x, _ = tower_scan(body, x, stage["blocks"])
     x = x.mean(axis=(1, 2))
     x = layer_norm(params["norm"], x, cfg.ln_eps)
     return (jnp.dot(x, params["head"]["kernel"], preferred_element_type=jnp.float32)
@@ -202,7 +202,7 @@ def make_convnext_adapter(cfg: ConvNeXtConfig, params: PyTree) -> ModelAdapter:
                     def body(x, bp):
                         y, _ = convnext_block(cfg, bp, x)
                         return y, None
-                    x, _ = jax.lax.scan(body, x, p["stages"][sj]["blocks"])
+                    x, _ = tower_scan(body, x, p["stages"][sj]["blocks"])
             return x, None
 
         def _fwd(bp, x, cache, collect=None):

@@ -42,6 +42,7 @@ from ecoflap_tpu.models.layers import (
     collect_stats,
     extract_patches,
     layer_norm,
+    tower_scan,
 )
 from ecoflap_tpu.pruning.adapter import ModelAdapter
 
@@ -208,7 +209,7 @@ def run_resblocks(
         y, _ = resblock_forward(cfg, bp, x, bias)
         return y, None
 
-    x, _ = jax.lax.scan(body, x, blocks)
+    x, _ = tower_scan(body, x, blocks)
     return x
 
 

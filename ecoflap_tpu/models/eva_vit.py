@@ -34,6 +34,7 @@ from ecoflap_tpu.models.layers import (
     extract_patches,
     gelu,
     layer_norm,
+    tower_scan,
 )
 
 PyTree = Any
@@ -230,7 +231,7 @@ def forward_features(
         y, _ = block_forward(cfg, bp, x)
         return y, None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x, _ = tower_scan(body, x, params["blocks"])
     return x
 
 

@@ -160,3 +160,44 @@ def mask_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     sequences in a batched calibration set) softmax to uniform, not NaN.
     """
     return jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(dtype)
+
+
+# -- tower scan with opt-in gradient rematerialization ------------------------
+
+_SCAN_REMAT = False
+
+
+class remat_scans:
+    """Trace-time switch: tower scans traced inside this context wrap their
+    bodies in ``jax.checkpoint``, so a backward pass recomputes each block's
+    internals instead of saving them. Without it, differentiating a scanned
+    tower stacks EVERY intermediate across layers as residuals — at BLIP-2 XL
+    the EVA-ViT scan alone saves f32[39,8,16,257,257] attention scores
+    (1.9 GB) plus ~10 GB of friends, which is what OOM'd the first-order
+    scorer on a 16 GB chip. Forward-only paths are unaffected (the flag is
+    read when the scan is TRACED; already-compiled programs keep their
+    behavior)."""
+
+    def __enter__(self):
+        global _SCAN_REMAT
+        self._prev = _SCAN_REMAT
+        _SCAN_REMAT = True
+        return self
+
+    def __exit__(self, *exc):
+        global _SCAN_REMAT
+        _SCAN_REMAT = self._prev
+        return False
+
+
+def tower_scan(body, init, xs):
+    """``jax.lax.scan`` for stacked-block towers; honors ``remat_scans``.
+
+    ``prevent_cse=False``: inside scan the extra CSE-blocking machinery is
+    unnecessary (the loop boundary already prevents the problematic CSE) and
+    it bloats the lowered backward enormously — the axon remote compile of
+    the checkpointed 39-block EVA-ViT backward took 477 s with the default
+    and is the dominant cost of first-order scoring at XL."""
+    if _SCAN_REMAT:
+        body = jax.checkpoint(body, prevent_cse=False)
+    return jax.lax.scan(body, init, xs)

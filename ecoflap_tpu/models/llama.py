@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ecoflap_tpu.models.adapters import make_stack
-from ecoflap_tpu.models.layers import collect_stats, mask_bias, rms_norm
+from ecoflap_tpu.models.layers import collect_stats, mask_bias, rms_norm, tower_scan
 
 PyTree = Any
 
@@ -212,7 +212,7 @@ def forward(
         y, _ = block_forward(cfg, bp, x, cache)
         return y, None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = tower_scan(body, x, params["layers"])
     x = rms_norm(params["norm"], x, cfg.rms_eps)
     return jnp.dot(x, params["lm_head"]["kernel"], preferred_element_type=jnp.float32)
 

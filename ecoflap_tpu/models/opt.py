@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 
 from ecoflap_tpu.models.adapters import make_stack
-from ecoflap_tpu.models.layers import attention, collect_stats, layer_norm, mask_bias
+from ecoflap_tpu.models.layers import (
+    attention,
+    collect_stats,
+    layer_norm,
+    mask_bias,
+    tower_scan,
+)
 
 PyTree = Any
 
@@ -151,7 +157,7 @@ def forward(cfg: OPTConfig, params: PyTree, input_ids: jax.Array,
         y, _ = block_forward(cfg, bp, x, cache)
         return y, None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = tower_scan(body, x, params["layers"])
     x = layer_norm(params["final_ln"], x, cfg.ln_eps)
     return jnp.dot(x, params["embed_tokens"].T, preferred_element_type=jnp.float32)
 

@@ -26,7 +26,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 
-from ecoflap_tpu.models.layers import attention, gelu, layer_norm
+from ecoflap_tpu.models.layers import attention, gelu, layer_norm, tower_scan
 
 PyTree = Any
 
@@ -179,7 +179,7 @@ def forward(
             x = _layer_forward(cfg, odd, x, image_embeds, bias)
             return x, None
 
-        x, _ = jax.lax.scan(body, x, (evens, odds))
+        x, _ = tower_scan(body, x, (evens, odds))
         return x
 
     for layer in layers:

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ecoflap_tpu.models.adapters import make_stack
-from ecoflap_tpu.models.layers import collect_stats, mask_bias, rms_norm
+from ecoflap_tpu.models.layers import collect_stats, mask_bias, rms_norm, tower_scan
 
 PyTree = Any
 
@@ -333,7 +333,7 @@ def _scan_blocks(block_fn, blocks: PyTree, x: jax.Array, cache: Any) -> jax.Arra
         y, _ = block_fn(bp, x, cache)
         return y, None
 
-    x, _ = jax.lax.scan(body, x, blocks)
+    x, _ = tower_scan(body, x, blocks)
     return x
 
 

@@ -64,13 +64,18 @@ def accumulate_gradients(
             for t in targets
         }
 
+    from ecoflap_tpu.models.layers import remat_scans
+
     acc: Dict[str, jax.Array] = {}
     nb = 0
-    for batch in batches:
-        stats = grad_stats(params, batch)
-        for k, v in stats.items():
-            acc[k] = acc.get(k, 0.0) + v
-        nb += 1
+    # remat tower scans during the grad trace: residual stacking across
+    # scanned blocks otherwise dominates memory (see layers.remat_scans)
+    with remat_scans():
+        for batch in batches:
+            stats = grad_stats(params, batch)
+            for k, v in stats.items():
+                acc[k] = acc.get(k, 0.0) + v
+            nb += 1
     if nb == 0:
         raise ValueError("no calibration batches provided")
     return {k: v / nb for k, v in acc.items()}
@@ -82,6 +87,7 @@ def first_order_group_sums(
     batches: Sequence[Any],
     targets: List[WeightTarget],
     score_compute: str = "GradMagAbs",
+    progress=None,  # optional (batch_idx, partition_idx) callback
 ) -> Dict[str, jax.Array]:
     """Per-target importance SUMS — all the coarse-stage allocator needs.
 
@@ -96,34 +102,102 @@ def first_order_group_sums(
       GradMagAbs:    Σ |W| · (Σ_b |g_b| / nb)   — |g| sums are per-batch, so
                      the scalar per batch is Σ|W|·|g_b| and the outer mean
                      over batches commutes with the elementwise sum.
+
+    The backward is PARTITIONED by stack (the first two dotted components of
+    each target's ``tree_path``): one ``jax.grad`` per partition w.r.t. ONLY
+    that partition's stacked leaves, the rest of the params entering as
+    constants. The full-model gradient tree (≈ params-sized; the straight
+    jax.grad over a 4B bf16 BLIP-2 needs 19.2 GB and fails XLA allocation on
+    a 16 GB chip) never materializes — the peak is params + ONE stack's
+    grads. Costs one partial backward per partition (upstream partitions
+    still backprop through downstream constants), ≈2× FLOPs for BLIP-2's 3
+    stacks; same sums as the single-pass version up to reduction order.
+    Targets without a pytree ``tree_path`` (accessor-routed stacks) fall back
+    to one full-tree pass.
     """
+    from collections import defaultdict
+
+    from ecoflap_tpu.core.pytree import get_leaf, set_leaf
+    from ecoflap_tpu.pruning.adapter import StackWeightTarget
+
     square = score_compute == "GradMagSquare"
 
     def batch_loss(p, batch):
         return jnp.mean(loss_fn(p, batch))
 
-    @jax.jit
-    def grad_scalar_stats(p, batch):
-        g = jax.grad(batch_loss)(p, batch)
-        out = {}
-        for t in targets:
-            gt = t.get(g).astype(jnp.float32)
-            gt = gt * gt if square else jnp.abs(gt)
-            if score_compute == "GradOnly":
-                out[t.name] = jnp.sum(gt)
-            else:
-                w = t.get(p).astype(jnp.float32)
-                w = w * w if square else jnp.abs(w)
-                out[t.name] = jnp.sum(w * gt)
-        return out
+    def scalar_stat(t_name, gt, w):
+        gt = gt.astype(jnp.float32)
+        gt = gt * gt if square else jnp.abs(gt)
+        if score_compute == "GradOnly":
+            return jnp.sum(gt)
+        w = w.astype(jnp.float32)
+        w = w * w if square else jnp.abs(w)
+        return jnp.sum(w * gt)
+
+    parts = defaultdict(list)
+    rest: List[WeightTarget] = []
+    for t in targets:
+        path = getattr(t, "tree_path", "")
+        if path and not isinstance(t, StackWeightTarget):
+            parts[".".join(path.split(".")[:2])].append(t)
+        else:
+            rest.append(t)
+
+    def make_part_fn(part_targets):
+        paths = tuple(sorted({t.tree_path for t in part_targets}))
+        names = [t.name for t in part_targets]
+
+        @jax.jit
+        def f(p, batch):
+            def loss_of(diff):
+                p2 = p
+                for path in paths:
+                    p2 = set_leaf(p2, path, diff[path])
+                return batch_loss(p2, batch)
+
+            g = jax.grad(loss_of)({path: get_leaf(p, path) for path in paths})
+            out = []
+            for t in part_targets:
+                gt, w = g[t.tree_path], get_leaf(p, t.tree_path)
+                if t.block_index is not None:
+                    gt, w = gt[t.block_index], w[t.block_index]
+                out.append(scalar_stat(t.name, gt, w))
+            # ONE stacked vector per call: a dict of scalars costs one ~30 ms
+            # tunnel readback PER TARGET (≈280 s across a BLIP-2 XL coarse
+            # stage); stacking makes it one readback per partition call
+            return jnp.stack(out)
+
+        return names, f
+
+    part_fns = [make_part_fn(ts) for ts in parts.values()]
+    if rest:
+        rest_names = [t.name for t in rest]
+
+        @jax.jit
+        def rest_fn(p, batch):
+            g = jax.grad(batch_loss)(p, batch)
+            return jnp.stack([scalar_stat(t.name, t.get(g), t.get(p))
+                              for t in rest])
+
+        part_fns.append((rest_names, rest_fn))
+
+    from ecoflap_tpu.models.layers import remat_scans
 
     acc: Dict[str, float] = {}
     nb = 0
-    for batch in batches:
-        stats = grad_scalar_stats(params, batch)
-        for k, v in stats.items():
-            acc[k] = acc.get(k, 0.0) + float(v)  # host floats; bounds dispatch
-        nb += 1
+    # remat tower scans during the grad traces: at XL the ViT scan's saved
+    # residuals alone are ~10 GB without it (see layers.remat_scans)
+    import numpy as np
+
+    with remat_scans():
+        for bi, batch in enumerate(batches):
+            for pi, (names, fn) in enumerate(part_fns):
+                if progress is not None:
+                    progress(bi, pi)
+                vals = np.asarray(fn(params, batch))  # one readback
+                for k, v in zip(names, vals):
+                    acc[k] = acc.get(k, 0.0) + float(v)
+            nb += 1
     if nb == 0:
         raise ValueError("no calibration batches provided")
     return {k: v / nb for k, v in acc.items()}

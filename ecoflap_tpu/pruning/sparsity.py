@@ -126,7 +126,12 @@ def compute_layer_sparsity(
         if batches is None:
             batches = _split_batches(data, num_microbatches)
         importance_sums = first_order_group_sums(
-            loss_fn, params, batches, scored_targets, score_compute
+            loss_fn, params, batches, scored_targets, score_compute,
+            progress=(
+                (lambda b, p, _t0=time.time():
+                 print(f"grad batch {b} part {p} +{time.time() - _t0:.1f}s"))
+                if verbose else None
+            ),
         )
 
     # ---- group aggregation (return_sparsity, :343-377) -------------------
