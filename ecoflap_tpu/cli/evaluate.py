@@ -44,6 +44,15 @@ def build_parser():
     return p
 
 
+def _init_params(init_fn, cfg, args):
+    """Jitted random init; bf16 at full scale (an eager f32 init of the 4B
+    BLIP-2 is 16 GB — over the 15.75 GB chip — and churns ~3x param bytes
+    through the allocator in per-leaf RNG ops)."""
+    dtype = jnp.bfloat16 if args.model_scale == "full" else jnp.float32
+    return jax.jit(lambda k: init_fn(cfg, k, dtype=dtype))(
+        jax.random.PRNGKey(args.seed))
+
+
 def _synthetic_eval(args) -> Dict[str, Any]:
     """Smoke evaluation on random data — exercises the full model+task path."""
     from ecoflap_tpu.data.calibration import HashTokenizer
@@ -58,7 +67,7 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.tasks.lm import PerplexityTask
 
         cfg = llama.llama_7b() if args.model_scale == "full" else llama.tiny_config()
-        params = llama.init_params(cfg, jax.random.PRNGKey(args.seed))
+        params = _init_params(llama.init_params, cfg, args)
         stream = jnp.asarray(
             rng.integers(2, cfg.vocab_size, size=(64 * 32,)), jnp.int32)
         seqlen = args.seqlen if args.model_scale == "full" else 32
@@ -74,7 +83,7 @@ def _synthetic_eval(args) -> Dict[str, Any]:
 
         cfg = (blip2.blip2_flant5xl() if args.model_scale == "full"
                else blip2.tiny_config())
-        params = blip2.init_params(cfg, jax.random.PRNGKey(args.seed))
+        params = _init_params(blip2.init_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.t5.vocab_size)
         gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
                              num_beams=args.num_beams,
@@ -125,7 +134,7 @@ def _synthetic_eval(args) -> Dict[str, Any]:
 
         cfg = (t5_mod.flan_t5_xl() if args.model_scale == "full"
                else t5_mod.tiny_config())
-        params = t5_mod.init_params(cfg, jax.random.PRNGKey(args.seed))
+        params = _init_params(t5_mod.init_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.vocab_size)
 
         def first_token_logits(prompts):
@@ -173,7 +182,7 @@ def _real_eval(args) -> Dict[str, Any]:
                 ck.load_torch_checkpoint(args.checkpoint), cfg,
                 dtype=jnp.bfloat16)
         else:
-            params = blip2.init_params(cfg, jax.random.PRNGKey(args.seed))
+            params = _init_params(blip2.init_params, cfg, args)
             if args.checkpoint:
                 params = Runner(args.output_dir).load_checkpoint(
                     params, args.checkpoint)
@@ -220,7 +229,7 @@ def _real_eval(args) -> Dict[str, Any]:
         cfg = ((clip_mod.eva_clip_g() if args.model == "eva_clip"
                 else clip_mod.vit_b16()) if args.model_scale == "full"
                else clip_mod.tiny_config(eva=args.model == "eva_clip"))
-        params = clip_mod.init_params(cfg, jax.random.PRNGKey(args.seed))
+        params = _init_params(clip_mod.init_params, cfg, args)
         if args.checkpoint:
             params = Runner(args.output_dir).load_checkpoint(params,
                                                              args.checkpoint)
