@@ -392,9 +392,12 @@ def main(argv=None) -> Dict[str, Any]:
 
     sd_path = runner.save_sparsity_dict(sparsity_dict)
     stats_path = runner.save_training_statistics(wall)
+    # key must be unique per (stack, block): keying by s.name alone
+    # overwrote every entry with the LAST block's weights, so the reported
+    # sparsity was block L-1's ratio, not the global zero fraction
     sparsity = global_sparsity(
-        {s.name: [s.weight_get(s.get_block(params, i), ln)
-                  for ln in s.linear_names]
+        {f"{s.name}.{i}": [s.weight_get(s.get_block(params, i), ln)
+                           for ln in s.linear_names]
          for s in adapter.stacks for i in range(s.num_blocks)}
     )
     result = {

@@ -55,3 +55,37 @@ def test_cli_annotation_calibration(tmp_path):
         "--output_dir", str(tmp_path / "out"),
     ])
     assert 0.40 < result["prunable_sparsity"] < 0.60
+
+
+def test_cli_sparsity_report_is_global_not_last_block(tmp_path):
+    """Regression: the reported prunable_sparsity once keyed weights by
+    stack name only, so every block overwrote the entry and the number was
+    the LAST block's ratio. A dict with unequal ratios must report the
+    weighted global."""
+    import yaml
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.cli.prune import main as prune_main
+
+    cfg = llama.tiny_config()
+    # ratios 0.2 / 0.8 across blocks -> global ~0.5, last block 0.8
+    params = llama.init_params(cfg, __import__("jax").random.PRNGKey(0))
+    ad = llama.make_adapter(cfg, params)
+    stack = ad.stacks[0]
+    ratios = [0.2, 0.8] * (stack.num_blocks // 2 + 1)
+    sd = {stack.weight_key(i, ln): ratios[i]
+          for i in range(stack.num_blocks) for ln in stack.linear_names}
+    sd_path = tmp_path / "dict.yaml"
+    sd_path.write_text(yaml.safe_dump(sd))
+
+    result = prune_main([
+        "--model", "llama", "--model_scale", "tiny",
+        "--pruning_method", "llama_wanda_pruner",
+        "--prune_spec", f"{stack.num_blocks}-0.5-1.0-1.0",
+        "--sparsity_dict", str(sd_path),
+        "--num_samples", "8", "--batch_size", "4",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    expected = sum(ratios[:stack.num_blocks]) / stack.num_blocks
+    assert abs(result["prunable_sparsity"] - expected) < 0.02, result
+    assert abs(result["prunable_sparsity"] - 0.8) > 0.1  # not last-block
