@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="image root for --calib annotations")
     p.add_argument("--num_samples", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--eval_chunk", type=int, default=None,
+                   help="memory-chunk size for loss evals / calibration "
+                        "streaming (samples per chunk; default = one "
+                        "microbatch). LLaMA-7B at seqlen 2048 needs 4: the "
+                        "bf16 attention scores are 2 GB per 8-sample chunk")
     p.add_argument("--seqlen", type=int, default=2048)  # LLaMA (main.py:27)
     # staged / isolated execution (SparseGPT-at-XL memory relief: the axon
     # device budget is per-process; running each stack in its own process
@@ -99,6 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+
+def _jit_init(init_fn, cfg, key, dtype):
+    """One jitted init program: eager per-leaf RNG churns ~3x the param
+    bytes through the axon cumulative allocator — at LLaMA-7B (13.5 GB
+    bf16) that alone nearly exhausts the ~40 GB/process budget."""
+    return jax.jit(lambda k: init_fn(cfg, k, dtype=dtype))(key)
+
+
 def _configs(args):
     """(cfg, params, adapter_fn, batch) per model family."""
     from ecoflap_tpu.data import calibration as cal
@@ -116,7 +129,7 @@ def _configs(args):
             params = ck.convert_blip2(ck.load_torch_checkpoint(args.ckpt), cfg,
                                       dtype=dtype)
         else:
-            params = blip2.init_params(cfg, key, dtype=dtype)
+            params = _jit_init(blip2.init_params, cfg, key, dtype)
         tok = cal.load_t5_tokenizer(vocab_size=cfg.t5.vocab_size)
         spec = cal.CalibrationSpec(args.num_samples, args.batch_size)
         if args.calib != "synthetic":
@@ -168,7 +181,7 @@ def _configs(args):
         if args.ckpt:
             params = ck.convert_t5(ck.load_torch_checkpoint(args.ckpt), cfg, dtype)
         else:
-            params = t5_mod.init_params(cfg, key, dtype=dtype)
+            params = _jit_init(t5_mod.init_params, cfg, key, dtype)
         tok = cal.load_t5_tokenizer(vocab_size=cfg.t5.vocab_size if hasattr(cfg, "t5") else cfg.vocab_size)
         spec = cal.CalibrationSpec(args.num_samples, args.batch_size)
         texts = [" ".join(np.random.default_rng(args.seed + i)
@@ -193,7 +206,7 @@ def _configs(args):
         eva = args.model == "eva_clip"
         cfg = (clip_mod.eva_clip_g() if eva else clip_mod.vit_b16()) \
             if scale == "full" else clip_mod.tiny_config(eva=eva)
-        params = clip_mod.init_params(cfg, key, dtype)
+        params = _jit_init(clip_mod.init_params, cfg, key, dtype)
         rng = np.random.default_rng(args.seed)
         img = (cfg.eva_visual.img_size if cfg.eva_visual else cfg.visual.img_size)
         n = args.num_samples
@@ -217,14 +230,20 @@ def _configs(args):
         from ecoflap_tpu.utils import checkpoint as ck
         from ecoflap_tpu.data import calibration as cal2
 
-        cfg = llama.llama_7b() if scale == "full" else llama.tiny_config()
+        # "small" = OpenLLaMA-3B: the llama size that fits this 16 GB chip
+        # dense (7B bf16 weights + the scoring program need ~17 GB)
+        cfg = (llama.llama_7b() if scale == "full"
+               else llama.open_llama_3b() if scale == "small"
+               else llama.tiny_config())
+        if scale == "small":
+            dtype = jnp.bfloat16
         if args.ckpt:
             params = ck.convert_llama(ck.load_torch_checkpoint(args.ckpt), cfg,
                                       dtype)
         else:
-            params = llama.init_params(cfg, key, dtype=dtype)
+            params = _jit_init(llama.init_params, cfg, key, dtype)
         rng = np.random.default_rng(args.seed)
-        seqlen = args.seqlen if scale == "full" else 32
+        seqlen = args.seqlen if scale in ("full", "small") else 32
         stream = rng.integers(2, cfg.vocab_size, size=(args.num_samples * seqlen + seqlen,))
         batch = cal2.build_lm_calibration_batch(
             np.asarray(stream), args.num_samples, seqlen, args.seed)
@@ -348,6 +367,7 @@ def main(argv=None) -> Dict[str, Any]:
 
     pruner_cfg = dict(
         stack_specs=stack_specs or None,
+        eval_chunk_size=args.eval_chunk,
         prune_spec=args.prune_spec,
         sparsity_ratio_granularity=args.sparsity_ratio_granularity,
         max_sparsity_per_layer=args.max_sparsity_per_layer,

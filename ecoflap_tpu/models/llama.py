@@ -70,6 +70,14 @@ def llama_13b() -> LlamaConfig:
                        num_kv_heads=40, d_ff=13824)
 
 
+def open_llama_3b() -> LlamaConfig:
+    """OpenLLaMA-3B (the llama-family size that fits a 16 GB chip dense:
+    7B bf16 weights alone are 13.5 GB and the scoring program needs ~17 GB
+    total — over this device; 3B is ~6.8 GB, comfortable at seqlen 2048)."""
+    return LlamaConfig(d_model=3200, num_layers=26, num_heads=32,
+                       num_kv_heads=32, d_ff=8640)
+
+
 def tiny_config(**kw) -> LlamaConfig:
     defaults = dict(vocab_size=64, d_model=32, num_layers=2, num_heads=4,
                     num_kv_heads=4, d_ff=64, max_seq_len=32)
@@ -226,9 +234,13 @@ def _next_token_ce(
         if attn_mask is None
         else attn_mask[:, 1:] > 0
     )
-    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
-    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    ce = jnp.where(valid, ce, 0.0)
+    # lse-form CE: log_softmax would materialize a SECOND (B, S, V) array
+    # next to the logits — at LLaMA-7B 32k-vocab that extra 2 GB/chunk is
+    # what pushed the coarse-stage program past the 15.75 GB chip
+    shifted = logits[:, :-1]
+    lse = jax.nn.logsumexp(shifted, axis=-1)
+    picked = jnp.take_along_axis(shifted, targets[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, lse - picked, 0.0)
     return jnp.sum(ce, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1)
 
 

@@ -168,9 +168,11 @@ def per_sample_loss(cfg: OPTConfig, params: PyTree, input_ids: jax.Array,
     targets = input_ids[:, 1:]
     valid = (jnp.ones_like(targets, jnp.bool_) if attn_mask is None
              else attn_mask[:, 1:] > 0)
-    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
-    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    ce = jnp.where(valid, ce, 0.0)
+    # lse-form CE (see llama._next_token_ce): no second (B, S, V) array
+    shifted = logits[:, :-1]
+    lse = jax.nn.logsumexp(shifted, axis=-1)
+    picked = jnp.take_along_axis(shifted, targets[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, lse - picked, 0.0)
     return jnp.sum(ce, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1)
 
 

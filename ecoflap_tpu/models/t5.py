@@ -437,9 +437,11 @@ def ce_per_sample(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """(B, S, V) logits + (B, S) labels (-100 ignored) -> (B,) token-mean CE."""
     valid = labels != -100
     safe_labels = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ce = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
-    ce = jnp.where(valid, ce, 0.0)
+    # lse-form (== -log_softmax gather) avoids materializing a second
+    # (B, S, V) array next to the logits (see llama._next_token_ce)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, safe_labels[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, lse - picked, 0.0)
     return jnp.sum(ce, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1)
 
 

@@ -101,7 +101,10 @@ class SuffixPlan:
         extra_data: Optional[Dict[str, Any]] = None,
         num_chunks: int = 1,
     ) -> None:
-        from ecoflap_tpu.pruning.engine import chunked_prepare
+        from ecoflap_tpu.pruning.engine import (
+            chunked_block_apply,
+            chunked_prepare,
+        )
 
         self.stack = stack
         self.finish_fn = finish_fn
@@ -118,13 +121,20 @@ class SuffixPlan:
         self._x = x
         self._cache = cache
         self._block = 0
+        self._data_cache: Optional[Dict[str, Any]] = None
         # donate x: the pre-advance activations are dead afterwards (the
         # rolling cache would otherwise churn a stack's worth of activation
-        # buffers against the device allocation budget)
-        self._advance = jax.jit(
-            lambda bp, h, c: stack.block_forward(bp, h, c, collect=None)[0],
-            donate_argnums=(1,),
-        )
+        # buffers against the device allocation budget). The advance streams
+        # in the SAME chunks as the loss evals: a full-batch single-block
+        # forward holds the whole batch's attention scores at once —
+        # 8.6 GB at OpenLLaMA-3B (32 samples × 32 heads × 2048²·bf16),
+        # which OOM'd the first block advance on a 16 GB chip.
+        def _adv(bp, h, c):
+            y, _ = chunked_block_apply(
+                stack.block_forward, bp, h, c, None, num_chunks)
+            return y
+
+        self._advance = jax.jit(_adv, donate_argnums=(1,))
 
     # -- LossPlan protocol ---------------------------------------------------
     def match(self, name: str) -> bool:
@@ -140,12 +150,21 @@ class SuffixPlan:
 
     @property
     def data(self) -> Dict[str, Any]:
-        return {
-            **self._base,
-            X_KEY: self._x,
-            CACHE_KEY: self._cache,
-            START_KEY: jnp.asarray(self._block, jnp.int32),
-        }
+        """Eval data dict, MEMOIZED per block position. Rebuilding it per
+        target (the naive property) materializes a fresh START_KEY scalar
+        and a fresh dict of the same buffers on every call — through the
+        axon tunnel each novel input-set to the jitted loss leaks device
+        allocations, and an LLM-scale coarse stage (OpenLLaMA-3B, 7 targets
+        per block) died RESOURCE_EXHAUSTED after ~8 targets. Same-block
+        calls must return the IDENTICAL pytree (bit-identical buffers)."""
+        if self._data_cache is None:
+            self._data_cache = {
+                **self._base,
+                X_KEY: self._x,
+                CACHE_KEY: self._cache,
+                START_KEY: jnp.asarray(self._block, jnp.int32),
+            }
+        return self._data_cache
 
     def prepare(self, params: PyTree, name: str) -> Dict[str, Any]:
         """Advance the rolling cache to the target's block (using the
@@ -160,4 +179,5 @@ class SuffixPlan:
             bp = self.stack.get_block(params, self._block)
             self._x = self._advance(bp, self._x, self._cache)
             self._block += 1
+            self._data_cache = None  # X and START changed
         return self.data
