@@ -28,6 +28,8 @@ def build_parser():
     p.add_argument("--task", required=True,
                    choices=["vqa", "gqa", "captioning", "classification",
                             "retrieval", "mmlu", "wikitext_ppl"])
+    p.add_argument("--tokenizer_path", default=None,
+                   help="local tokenizer.json (real subword vocab)")
     p.add_argument("--checkpoint", default=None,
                    help="orbax dir (runner.save_checkpoint) or torch .pth")
     p.add_argument("--ann", default=None, help="annotation json / data path")
@@ -41,6 +43,9 @@ def build_parser():
     p.add_argument("--output_dir", default="output")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--vocab_size", type=int, default=None,
+                   help="tiny-scale T5 vocab override (e.g. to match a "
+                        "--tokenizer_path vocab)")
     return p
 
 
@@ -82,7 +87,7 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.tasks.vqa import VQATask
 
         cfg = (blip2.blip2_flant5xl() if args.model_scale == "full"
-               else blip2.tiny_config())
+               else blip2.tiny_config(vocab_size=args.vocab_size))
         params = _init_params(blip2.init_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.t5.vocab_size)
         gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
@@ -176,7 +181,7 @@ def _real_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.utils import checkpoint as ck
 
         cfg = (blip2.blip2_flant5xl() if args.model_scale == "full"
-               else blip2.tiny_config())
+               else blip2.tiny_config(vocab_size=args.vocab_size))
         if args.checkpoint and args.checkpoint.endswith(".pth"):
             params = ck.convert_blip2(
                 ck.load_torch_checkpoint(args.checkpoint), cfg,
@@ -186,7 +191,8 @@ def _real_eval(args) -> Dict[str, Any]:
             if args.checkpoint:
                 params = Runner(args.output_dir).load_checkpoint(
                     params, args.checkpoint)
-        tok = load_t5_tokenizer(vocab_size=cfg.t5.vocab_size)
+        tok = load_t5_tokenizer(vocab_size=cfg.t5.vocab_size,
+                                path=args.tokenizer_path)
         gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
                              num_beams=args.num_beams,
                              length_penalty=args.length_penalty)

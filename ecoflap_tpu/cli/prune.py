@@ -33,7 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True,
                    choices=["blip2_t5", "t5", "eva_clip", "clip", "llama"])
     p.add_argument("--model_scale", default="tiny",
-                   choices=["tiny", "small", "full"])
+                   choices=["tiny", "small", "full"],
+                   help="'small' exists only for llama (OpenLLaMA-3B) and "
+                        "forces bf16 weights like 'full'; other families "
+                        "support tiny/full only")
     p.add_argument("--ckpt", default=None, help="torch .pth checkpoint")
     p.add_argument("--pruning_method", default="blipt5_wanda_pruner")
     # prune specs (keep-ratio encoding, base_pruner.py:75-81)
@@ -58,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--is_global", action="store_true")
     p.add_argument("--iteration", type=int, default=1)
     # calibration
+    p.add_argument("--tokenizer_path", default=None,
+                   help="local tokenizer.json (real subword vocab); "
+                        "without it a LOUD HashTokenizer fallback applies")
     p.add_argument("--calib", default="synthetic",
                    help="synthetic | path to annotation json / jsonl")
     p.add_argument("--vis_root", default="",
@@ -117,6 +123,10 @@ def _configs(args):
     from ecoflap_tpu.data import calibration as cal
 
     scale = args.model_scale
+    if scale == "small" and args.model != "llama":
+        raise SystemExit(
+            f"--model_scale small is only implemented for llama "
+            f"(OpenLLaMA-3B); {args.model} supports tiny/full")
     key = jax.random.PRNGKey(args.seed)
     dtype = jnp.bfloat16 if scale == "full" else jnp.float32
 
@@ -130,7 +140,8 @@ def _configs(args):
                                       dtype=dtype)
         else:
             params = _jit_init(blip2.init_params, cfg, key, dtype)
-        tok = cal.load_t5_tokenizer(vocab_size=cfg.t5.vocab_size)
+        tok = cal.load_t5_tokenizer(vocab_size=cfg.t5.vocab_size,
+                                    path=args.tokenizer_path)
         spec = cal.CalibrationSpec(args.num_samples, args.batch_size)
         if args.calib != "synthetic":
             # LAVIS-style caption annotations + real images via the dataset
@@ -182,7 +193,9 @@ def _configs(args):
             params = ck.convert_t5(ck.load_torch_checkpoint(args.ckpt), cfg, dtype)
         else:
             params = _jit_init(t5_mod.init_params, cfg, key, dtype)
-        tok = cal.load_t5_tokenizer(vocab_size=cfg.t5.vocab_size if hasattr(cfg, "t5") else cfg.vocab_size)
+        tok = cal.load_t5_tokenizer(
+            vocab_size=cfg.t5.vocab_size if hasattr(cfg, "t5") else cfg.vocab_size,
+            path=args.tokenizer_path)
         spec = cal.CalibrationSpec(args.num_samples, args.batch_size)
         texts = [" ".join(np.random.default_rng(args.seed + i)
                           .choice(["the", "a", "dog", "cat", "run"], 20))

@@ -74,9 +74,66 @@ class HashTokenizer:
                         if i not in (self.pad_token_id, self.eos_token_id))
 
 
+class FileTokenizer:
+    """Real subword tokenizer loaded from a local HF ``tokenizer.json``
+    (sentencepiece-style Unigram/BPE serialized by the ``tokenizers``
+    library — the same serialization HF hub checkpoints carry).
+
+    The reference tokenizes with the real FlanT5 sentencepiece vocab
+    (blip2_t5.py:96 ``t5_tokenizer``); this is the zero-egress equivalent:
+    point ``--tokenizer_path`` at any local tokenizer.json. T5 id
+    conventions expected: pad=0, eos=1 (``</s>``).
+    """
+
+    def __init__(self, path: str):
+        from tokenizers import Tokenizer  # baked into the image
+
+        self._tok = Tokenizer.from_file(path)
+        self.path = path
+        self.pad_token_id = self._tok.token_to_id("<pad>") or 0
+        eos = self._tok.token_to_id("</s>")
+        self.eos_token_id = 1 if eos is None else eos
+        self.vocab_size = self._tok.get_vocab_size()
+
+    def encode(self, text: str, max_length: int, add_eos: bool = True):
+        ids = self._tok.encode(text).ids[: max_length - int(add_eos)]
+        if add_eos:
+            ids.append(self.eos_token_id)
+        mask = [1] * len(ids)
+        pad = max_length - len(ids)
+        return ids + [self.pad_token_id] * pad, mask + [0] * pad
+
+    def __call__(self, texts: Sequence[str], max_length: int = 32,
+                 add_eos: bool = True):
+        out_ids, out_mask = [], []
+        for t in texts:
+            ids, mask = self.encode(t, max_length, add_eos)
+            out_ids.append(ids)
+            out_mask.append(mask)
+        return (np.asarray(out_ids, np.int32), np.asarray(out_mask, np.int32))
+
+    def decode(self, ids: Sequence[int]) -> str:
+        keep = [int(i) for i in ids
+                if i not in (self.pad_token_id, self.eos_token_id)]
+        return self._tok.decode(keep)
+
+
+def tiny_tokenizer_path() -> str:
+    """Checked-in tiny real Unigram tokenizer (188-token vocab, full ASCII
+    coverage) used by tests and the planted-answer eval drill."""
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "assets",
+                        "tiny_unigram.json")
+
+
 def load_t5_tokenizer(name: str = "google/flan-t5-xl",
-                      vocab_size: int = 32128):
-    """HF T5 tokenizer if cached locally, else HashTokenizer fallback."""
+                      vocab_size: int = 32128, path: Optional[str] = None):
+    """Real tokenizer from ``path`` (tokenizer.json), else the HF cache,
+    else a LOUDLY-warned HashTokenizer fallback (hash ids are fine for
+    synthetic calibration but make any accuracy number meaningless)."""
+    if path:
+        return FileTokenizer(path)
     try:
         from transformers import AutoTokenizer
 
@@ -99,6 +156,16 @@ def load_t5_tokenizer(name: str = "google/flan-t5-xl",
 
         return _Wrap()
     except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "No HF tokenizer cache for %r and no --tokenizer_path given: "
+            "FALLING BACK TO HashTokenizer (md5 word hashing). Token ids "
+            "will NOT match the real sentencepiece vocab — generation/eval "
+            "text and any accuracy numbers are synthetic-only. Pass "
+            "--tokenizer_path <tokenizer.json> for real tokenization.",
+            name,
+        )
         return HashTokenizer(vocab_size=vocab_size)
 
 

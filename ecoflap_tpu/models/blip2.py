@@ -56,11 +56,12 @@ def blip2_flant5xl(img_size: int = 224) -> Blip2Config:
     )
 
 
-def tiny_config() -> Blip2Config:
+def tiny_config(vocab_size: int = None) -> Blip2Config:
     vit = eva_vit.tiny_config()
+    t5_kw = {} if vocab_size is None else {"vocab_size": vocab_size}
     return Blip2Config(
         vit=vit,
-        t5=t5_mod.tiny_config(),
+        t5=t5_mod.tiny_config(**t5_kw),
         qformer=qformer.tiny_config(encoder_width=vit.embed_dim),
     )
 

@@ -16,6 +16,23 @@ search keeps a fixed (B, num_beams) frontier with HF's scoring rules:
 The model plugs in as a ``step_fn(tokens, pos, cache) -> (logits, cache)``
 closure; T5's lives in this module (cached cross-attention K/V computed once
 per sequence), LLaMA's in models/llama.py.
+
+Beam search mirrors transformers' vectorized ``_beam_search`` (the scheme the
+reference exercises through ``t5_model.generate``, blip2_t5.py:416-431)
+step-for-step so outputs are token-identical (tests/test_generation_hf_parity.py):
+
+* two beam sets per sample: ``num_beams`` *running* beams and ``num_beams``
+  *finished* hypotheses (scores length-normalized by ``len**length_penalty``).
+* per step: top ``2*num_beams`` candidates over ``num_beams*vocab``; those
+  hitting a stopping criterion (EOS, or max length on the last step) are
+  merged into the finished set (only candidate ranks < num_beams are
+  eligible), the best ``num_beams`` non-finished continue.
+* processors (repetition penalty, min-length EOS mask) apply to the
+  *log-softmax* scores in beam mode and to raw logits in greedy mode,
+  exactly as HF ``_beam_search`` vs ``_sample`` do.
+* ``early_stopping=False`` heuristic: a batch stops accepting finished
+  hypotheses once ``best_running/(cur_len**lp) <= worst_finished`` with all
+  slots filled.
 """
 
 from __future__ import annotations
@@ -53,26 +70,34 @@ class GenerateConfig:
 def greedy_generate(
     step_fn: StepFn, cache: PyTree, batch_size: int, gen: GenerateConfig
 ) -> jax.Array:
-    """(B, max_new_tokens) greedy tokens; pads after EOS."""
+    """(B, max_new_tokens) greedy tokens; pads after EOS (HF ``_sample``:
+    processors on raw logits, finished rows keep feeding pad)."""
+    S = gen.max_new_tokens
     tok0 = jnp.full((batch_size,), gen.bos_token_id, jnp.int32)
+    seqs0 = jnp.full((batch_size, S), gen.pad_token_id, jnp.int32)
 
     def body(carry, pos):
-        tok, cache, done = carry
+        tok, cache, done, seqs = carry
         logits, cache = step_fn(tok, pos, cache)
+        if gen.repetition_penalty != 1.0:
+            logits = _apply_repetition_penalty(
+                logits, seqs, pos, gen
+            )
         logits = _mask_min_length(logits, pos, gen)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, gen.pad_token_id, nxt)
+        seqs = seqs.at[:, pos].set(nxt)
         done = done | (nxt == gen.eos_token_id)
-        return (nxt, cache, done), nxt
+        return (nxt, cache, done, seqs), None
 
-    init = (tok0, cache, jnp.zeros((batch_size,), jnp.bool_))
-    _, toks = jax.lax.scan(body, init, jnp.arange(gen.max_new_tokens))
-    return toks.T  # (B, S)
+    init = (tok0, cache, jnp.zeros((batch_size,), jnp.bool_), seqs0)
+    (_, _, _, seqs), _ = jax.lax.scan(body, init, jnp.arange(S))
+    return seqs
 
 
 def _mask_min_length(logits: jax.Array, pos: jax.Array, gen: GenerateConfig):
     """pos is the index of the token being generated (0-based); HF masks EOS
-    while cur_len < min_length."""
+    while cur_len (incl. decoder_start) < min_length."""
     block_eos = (pos + 1) < gen.min_length
     return jnp.where(
         block_eos,
@@ -91,83 +116,113 @@ def beam_generate(
     batch_size: int,
     gen: GenerateConfig,
 ) -> jax.Array:
-    """HF-style beam search; ``cache`` must already be expanded to
-    B·num_beams rows (row-major: sample-major then beam). Returns the best
-    hypothesis per sample, (B, max_new_tokens), padded after EOS."""
+    """Token-identical port of HF transformers' vectorized ``_beam_search``
+    (``early_stopping=False``, ``do_sample=False``). ``cache`` must already be
+    expanded to B*num_beams rows (sample-major). Returns the best finished
+    hypothesis per sample, (B, max_new_tokens), EOS included, pad after."""
     nb = gen.num_beams
+    K = 2 * nb  # beams_to_keep: (n_eos_tokens + 1) * nb, min 2*nb
+    S = gen.max_new_tokens
     flat = batch_size * nb
-    neg = jnp.float32(-1e9)
+    neg = jnp.float32(-1.0e9)
+    lp = jnp.float32(gen.length_penalty)
 
     tok0 = jnp.full((flat,), gen.bos_token_id, jnp.int32)
-    # first step: only beam 0 live, others -inf so the frontier diversifies
-    beam_scores = jnp.tile(
+    # only beam 0 live at step 0 so the frontier diversifies
+    run_scores = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((nb - 1,), neg)]), (batch_size,)
-    ).astype(jnp.float32)
-    seqs = jnp.full((flat, gen.max_new_tokens), gen.pad_token_id, jnp.int32)
-    done = jnp.zeros((flat,), jnp.bool_)
-    lengths = jnp.zeros((flat,), jnp.int32)
+    ).astype(jnp.float32).reshape(batch_size, nb)
+    run_seqs = jnp.full((batch_size, nb, S), gen.pad_token_id, jnp.int32)
+    fin_seqs = jnp.full((batch_size, nb, S), gen.pad_token_id, jnp.int32)
+    fin_scores = jnp.full((batch_size, nb), neg)
+    is_sent_finished = jnp.zeros((batch_size, nb), jnp.bool_)
+    # per-batch: can the running beams still improve on the finished set?
+    improving = jnp.ones((batch_size, 1), jnp.bool_)
+    # rank mask: only the top-nb of the K candidates may finalize
+    top_nb_mask = (jnp.arange(K) < nb)[None, :]
 
     def body(carry, pos):
-        tok, cache, beam_scores, seqs, done, lengths = carry
+        (tok, cache, run_scores, run_seqs, fin_seqs, fin_scores,
+         is_sent_finished, improving) = carry
         logits, cache = step_fn(tok, pos, cache)
-        logits = _mask_min_length(logits, pos, gen)
-        if gen.repetition_penalty != 1.0:
-            logits = _apply_repetition_penalty(
-                logits, seqs, pos, gen.repetition_penalty
-            )
+        # HF _beam_search: log_softmax FIRST, then processors on the log-probs
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if gen.repetition_penalty != 1.0:
+            logp = _apply_repetition_penalty(
+                logp, run_seqs.reshape(flat, S), pos, gen
+            )
+        logp = _mask_min_length(logp, pos, gen)
         vocab = logp.shape[-1]
 
-        # finished beams: freeze score; only pad continues
-        cont = jnp.where(done[:, None], neg, logp)
-        pad_only = jnp.full((flat, vocab), neg).at[:, gen.pad_token_id].set(0.0)
-        logp_eff = jnp.where(done[:, None], pad_only, cont)
-
-        cand = beam_scores[:, None] + logp_eff  # (flat, V)
+        cand = run_scores.reshape(flat)[:, None] + logp  # (flat, V)
         cand = cand.reshape(batch_size, nb * vocab)
-        top_scores, top_idx = jax.lax.top_k(cand, nb)  # (B, nb)
-        src_beam = top_idx // vocab  # (B, nb) index within sample
-        new_tok = (top_idx % vocab).astype(jnp.int32)
+        topk_logp, topk_idx = jax.lax.top_k(cand, K)  # (B, K)
+        src_beam = topk_idx // vocab  # (B, K) beam index within sample
+        topk_tok = (topk_idx % vocab).astype(jnp.int32)
+        bidx = jnp.arange(batch_size)[:, None]
+        topk_seqs = run_seqs[bidx, src_beam].at[:, :, pos].set(topk_tok)
 
-        gather = (jnp.arange(batch_size)[:, None] * nb + src_beam).reshape(-1)
+        # stopping criteria: EOS, or max length reached on the last step
+        hits = (topk_tok == gen.eos_token_id) | ((pos + 1) >= S)
+
+        # next running beams: best nb candidates not hitting a criterion
+        run_cand_scores = topk_logp + hits.astype(jnp.float32) * neg
+        _, next_idx = jax.lax.top_k(run_cand_scores, nb)  # (B, nb)
+        run_seqs = topk_seqs[bidx, next_idx]
+        run_scores = run_cand_scores[bidx, next_idx]
+        src_run = src_beam[bidx, next_idx]  # (B, nb) origin beams for cache
+
+        # finished update: length-normalized scores, rank < nb only,
+        # blocked once the batch can no longer improve
+        norm = (pos + 1).astype(jnp.float32) ** lp
+        fin_cand = topk_logp / norm
+        eligible = hits & top_nb_mask
+        fin_cand = fin_cand + (~eligible).astype(jnp.float32) * neg
+        fin_cand = fin_cand + (~improving).astype(jnp.float32) * neg
+        merged_scores = jnp.concatenate([fin_scores, fin_cand], axis=1)
+        merged_seqs = jnp.concatenate([fin_seqs, topk_seqs], axis=1)
+        merged_fin = jnp.concatenate([is_sent_finished, eligible], axis=1)
+        fin_scores, keep = jax.lax.top_k(merged_scores, nb)
+        fin_seqs = merged_seqs[bidx, keep]
+        is_sent_finished = merged_fin[bidx, keep]
+
+        # early_stopping==False heuristic (post cur_len increment):
+        # best running, normalized at current length, vs worst finished
+        best_running = run_scores[:, :1] / ((pos + 1).astype(jnp.float32) ** lp)
+        worst_fin = jnp.where(
+            is_sent_finished, jnp.min(fin_scores, axis=1, keepdims=True), neg
+        )
+        improving = improving & jnp.any(
+            best_running > worst_fin, axis=-1, keepdims=True
+        )
+
+        gather = (jnp.arange(batch_size)[:, None] * nb + src_run).reshape(-1)
         cache = jax.tree_util.tree_map(lambda a: a[gather], cache)
-        seqs = seqs[gather]
-        done_g = done[gather]
-        lengths_g = lengths[gather]
+        tok = run_seqs[:, :, pos].reshape(flat)
+        return (tok, cache, run_scores, run_seqs, fin_seqs, fin_scores,
+                is_sent_finished, improving), None
 
-        new_tok = new_tok.reshape(-1)
-        new_tok = jnp.where(done_g, gen.pad_token_id, new_tok)
-        seqs = seqs.at[:, pos].set(new_tok)
-        newly_done = (new_tok == gen.eos_token_id) & ~done_g
-        lengths = jnp.where(done_g, lengths_g, pos + 1)
-        done = done_g | newly_done
-        beam_scores = top_scores.reshape(-1)
-        return (new_tok, cache, beam_scores, seqs, done, lengths), None
-
-    init = (tok0, cache, beam_scores, seqs, done, lengths)
-    (tok, cache, beam_scores, seqs, done, lengths), _ = jax.lax.scan(
-        body, init, jnp.arange(gen.max_new_tokens)
-    )
-
-    lengths = jnp.where(done, lengths, gen.max_new_tokens)
-    norm = lengths.astype(jnp.float32) ** gen.length_penalty
-    final = beam_scores / norm
-    final = final.reshape(batch_size, nb)
-    best = jnp.argmax(final, axis=-1)
-    seqs = seqs.reshape(batch_size, nb, -1)
-    return seqs[jnp.arange(batch_size), best]
+    init = (tok0, cache, run_scores, run_seqs, fin_seqs, fin_scores,
+            is_sent_finished, improving)
+    carry, _ = jax.lax.scan(body, init, jnp.arange(S))
+    fin_seqs = carry[4]
+    return fin_seqs[:, 0]  # top_k-sorted: slot 0 is the best hypothesis
 
 
 def _apply_repetition_penalty(
-    logits: jax.Array, seqs: jax.Array, pos: jax.Array, penalty: float
+    scores: jax.Array, seqs: jax.Array, pos: jax.Array, gen: GenerateConfig
 ) -> jax.Array:
-    """CTRL-style penalty over tokens generated so far (positions < pos)."""
-    vocab = logits.shape[-1]
+    """CTRL-style penalty over the full input_ids: decoder_start plus tokens
+    generated so far (positions < pos). HF RepetitionPenaltyLogitsProcessor:
+    score/penalty if positive else score*penalty."""
+    penalty = gen.repetition_penalty
+    vocab = scores.shape[-1]
     valid = jnp.arange(seqs.shape[1])[None, :] < pos
     onehot = jax.nn.one_hot(seqs, vocab, dtype=jnp.bool_) & valid[..., None]
     seen = jnp.any(onehot, axis=1)
-    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
-    return jnp.where(seen, penalized, logits)
+    seen = seen.at[:, gen.bos_token_id].set(True)  # decoder_start in input_ids
+    penalized = jnp.where(scores < 0, scores * penalty, scores / penalty)
+    return jnp.where(seen, penalized, scores)
 
 
 def expand_for_beams(tree: PyTree, num_beams: int) -> PyTree:

@@ -164,7 +164,11 @@ def mask_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
 
 # -- tower scan with opt-in gradient rematerialization ------------------------
 
-_SCAN_REMAT = False
+_SCAN_STATE = __import__("threading").local()
+
+
+def scan_remat_active() -> bool:
+    return getattr(_SCAN_STATE, "remat", False)
 
 
 class remat_scans:
@@ -179,25 +183,30 @@ class remat_scans:
     behavior)."""
 
     def __enter__(self):
-        global _SCAN_REMAT
-        self._prev = _SCAN_REMAT
-        _SCAN_REMAT = True
+        self._prev = scan_remat_active()
+        _SCAN_STATE.remat = True
         return self
 
     def __exit__(self, *exc):
-        global _SCAN_REMAT
-        _SCAN_REMAT = self._prev
+        _SCAN_STATE.remat = self._prev
         return False
 
 
-def tower_scan(body, init, xs):
-    """``jax.lax.scan`` for stacked-block towers; honors ``remat_scans``.
+def tower_scan(body, init, xs, remat=None):
+    """``jax.lax.scan`` for stacked-block towers.
+
+    ``remat`` explicitly requests checkpointed bodies; when None it falls
+    back to the ``remat_scans`` context flag. The flag is TRACE-time state
+    (now thread-local): a jit compiled for the same shapes OUTSIDE the
+    context is silently reused without remat, so grad programs that need the
+    memory relief must build fresh jits inside the context (first_order.py
+    does) or pass ``remat=True`` explicitly and key their jit cache on it.
 
     ``prevent_cse=False``: inside scan the extra CSE-blocking machinery is
     unnecessary (the loop boundary already prevents the problematic CSE) and
     it bloats the lowered backward enormously — the axon remote compile of
     the checkpointed 39-block EVA-ViT backward took 477 s with the default
     and is the dominant cost of first-order scoring at XL."""
-    if _SCAN_REMAT:
+    if remat if remat is not None else scan_remat_active():
         body = jax.checkpoint(body, prevent_cse=False)
     return jax.lax.scan(body, init, xs)

@@ -19,7 +19,7 @@ reference's ``v.cpu()`` (layer_single_base_pruner.py:453-455).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +88,7 @@ def first_order_group_sums(
     targets: List[WeightTarget],
     score_compute: str = "GradMagAbs",
     progress=None,  # optional (batch_idx, partition_idx) callback
+    partition_prefixes: Optional[Sequence[str]] = None,
 ) -> Dict[str, jax.Array]:
     """Per-target importance SUMS — all the coarse-stage allocator needs.
 
@@ -103,8 +104,13 @@ def first_order_group_sums(
                      the scalar per batch is Σ|W|·|g_b| and the outer mean
                      over batches commutes with the elementwise sum.
 
-    The backward is PARTITIONED by stack (the first two dotted components of
-    each target's ``tree_path``): one ``jax.grad`` per partition w.r.t. ONLY
+    The backward is PARTITIONED by stack: the partition key is the longest
+    matching stack ``blocks_path`` from ``partition_prefixes`` (the adapter's
+    stacks) when provided, else the first two dotted components of each
+    target's ``tree_path`` — note the fallback splits single-stack LLMs
+    (e.g. LLaMA 'layers.attn' vs 'layers.mlp') into per-submodule partitions:
+    results are identical, each calibration batch just pays one extra partial
+    backward. One ``jax.grad`` per partition w.r.t. ONLY
     that partition's stacked leaves, the rest of the params entering as
     constants. The full-model gradient tree (≈ params-sized; the straight
     jax.grad over a 4B bf16 BLIP-2 needs 19.2 GB and fails XLA allocation on
@@ -134,12 +140,20 @@ def first_order_group_sums(
         w = w * w if square else jnp.abs(w)
         return jnp.sum(w * gt)
 
+    prefixes = sorted(partition_prefixes or (), key=len, reverse=True)
+
+    def part_key(path: str) -> str:
+        for pre in prefixes:
+            if path == pre or path.startswith(pre + "."):
+                return pre
+        return ".".join(path.split(".")[:2])
+
     parts = defaultdict(list)
     rest: List[WeightTarget] = []
     for t in targets:
         path = getattr(t, "tree_path", "")
         if path and not isinstance(t, StackWeightTarget):
-            parts[".".join(path.split(".")[:2])].append(t)
+            parts[part_key(path)].append(t)
         else:
             rest.append(t)
 

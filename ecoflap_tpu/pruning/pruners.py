@@ -158,6 +158,10 @@ class TwoStagePruner:
             per_model_group=list(self.adapter.model_prefixes.values()),
             key=self.key,
             noise_mode=self.noise_mode,
+            partition_prefixes=[
+                s.blocks_path for s in self.adapter.stacks
+                if s.blocks_path is not None
+            ],
             loss_plans=plans,
             eval_chunks=self._eval_chunks(data),
             verbose=self.verbose,

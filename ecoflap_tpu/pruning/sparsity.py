@@ -62,6 +62,7 @@ def compute_layer_sparsity(
     key: Optional[jax.Array] = None,
     noise_mode: str = "shared",
     first_order_batches: Optional[Sequence[Any]] = None,
+    partition_prefixes: Optional[Sequence[str]] = None,
     loss_plans: Optional[Sequence[Any]] = None,
     eval_chunks: Optional[int] = None,
     verbose: bool = True,
@@ -127,6 +128,7 @@ def compute_layer_sparsity(
             batches = _split_batches(data, num_microbatches)
         importance_sums = first_order_group_sums(
             loss_fn, params, batches, scored_targets, score_compute,
+            partition_prefixes=partition_prefixes,
             progress=(
                 (lambda b, p, _t0=time.time():
                  print(f"grad batch {b} part {p} +{time.time() - _t0:.1f}s"))

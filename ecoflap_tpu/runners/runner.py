@@ -183,9 +183,10 @@ class TrainRunner(Runner):
 
         Split-aware evaluation (RunnerBase.train, runner_base.py:360-417):
         ``valid_splits_fn() -> {split: data}`` evaluates every valid split per
-        epoch; best-checkpoint selection keys on the "val" split's
-        ``agg_metrics`` (falling back to the first split), and each val log
-        records ``best_epoch``. After the last epoch, ``test_splits_fn`` runs
+        epoch; best-checkpoint selection keys STRICTLY on the "val" split's
+        ``agg_metrics`` (matching runner_base.py:393 — other split names are
+        logged but never drive checkpoint_best; a warning is logged when no
+        "val" split exists), and each val log records ``best_epoch``. After the last epoch, ``test_splits_fn`` runs
         the testing phase on the BEST params (the reference reloads
         checkpoint_best). ``eval_data_fn`` is the single-split shorthand —
         equivalent to ``valid_splits_fn=lambda: {"val": eval_data_fn()}``.
@@ -222,7 +223,17 @@ class TrainRunner(Runner):
             self.log_metrics(train_metrics, split="train")
 
             if task is not None and valid_splits_fn is not None:
-                for split_name, data in valid_splits_fn().items():
+                splits = valid_splits_fn()
+                if "val" not in splits:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "valid splits %s contain no 'val' entry: "
+                        "checkpoint_best will never be saved and the test "
+                        "phase runs on the initial params "
+                        "(best-ckpt selection keys on 'val' only, "
+                        "runner_base.py:393)", sorted(splits))
+                for split_name, data in splits.items():
                     val_log = dict(train_metrics)
                     val_log.update(task.evaluation(data))
                     # best-ckpt selection keys on the "val" split ONLY

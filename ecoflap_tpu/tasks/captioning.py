@@ -51,7 +51,19 @@ def cider_d(
     max_n: int = 4,
     sigma: float = 6.0,
 ) -> float:
-    """Corpus CIDEr-D (0-10 scale)."""
+    """Corpus CIDEr-D (0-10 scale), algorithm-exact to pycocoevalcap's
+    ``cider_scorer.py`` (the scorer `captioning.py:104` imports):
+
+    * TF is the RAW n-gram count (pycocoevalcap ``counts2vec``:
+      ``vec[n][ngram] = term_freq * (log_num_imgs - log(max(df, 1)))``) —
+      NOT length-normalized; the raw scale matters inside the clipped
+      ``min(hyp, ref)`` numerator and does not cancel in the cosine.
+    * similarity per ref: sum(min(h, r) * r) / (|h||r|), Gaussian length
+      penalty exp(-(len_h - len_r)^2 / (2 sigma^2)), averaged over refs,
+      then over n, x10.
+    Oracle-locked in tests/test_metric_oracles.py (independent
+    implementation + closed-form values).
+    """
     assert len(candidates) == len(references)
     cand_toks = [tokenize(c) for c in candidates]
     ref_toks = [[tokenize(r) for r in refs] for refs in references]
@@ -70,10 +82,9 @@ def cider_d(
     def tfidf(counts: Counter, n: int):
         vec = {}
         norm = 0.0
-        length = sum(counts.values())
         for g, c in counts.items():
             idf = log_num_imgs - math.log(max(df[n][g], 1.0))
-            v = (c / max(length, 1)) * idf if length > 0 else 0.0
+            v = float(c) * idf
             vec[g] = v
             norm += v * v
         return vec, math.sqrt(norm)
@@ -87,7 +98,7 @@ def cider_d(
             for ref in refs:
                 r_counts = _ngrams(ref, n + 1)
                 r_vec, r_norm = tfidf(r_counts, n)
-                # CIDEr-D: clip candidate counts by reference counts
+                # CIDEr-D: clip hypothesis weight by the reference's
                 num = 0.0
                 for g, v in c_vec.items():
                     num += min(v, r_vec.get(g, 0.0)) * r_vec.get(g, 0.0)
@@ -104,7 +115,11 @@ def cider_d(
 def bleu4(
     candidates: Sequence[str], references: Sequence[Sequence[str]]
 ) -> float:
-    """Corpus BLEU-4 with brevity penalty."""
+    """Corpus BLEU-4, algorithm-exact to pycocoevalcap's ``bleu_scorer.py``
+    (option='closest'): cumulative-product precisions with the tiny/small
+    fudge terms, closest-reference length with first-wins tie-breaking, and
+    ratio-form brevity penalty."""
+    tiny, small = 1e-15, 1e-9  # pycocoevalcap's exact fudge constants
     p_num = [0] * 4
     p_den = [0] * 4
     cand_len = ref_len = 0
@@ -112,7 +127,12 @@ def bleu4(
         c = tokenize(cand)
         rs = [tokenize(r) for r in refs]
         cand_len += len(c)
-        ref_len += min((abs(len(r) - len(c)), len(r)) for r in rs)[1]
+        # 'closest' reflen: strict < comparison -> first ref wins ties
+        closest = None
+        for r in rs:
+            if closest is None or abs(len(r) - len(c)) < abs(closest - len(c)):
+                closest = len(r)
+        ref_len += closest or 0
         for n in range(4):
             c_ngrams = _ngrams(c, n + 1)
             max_ref = Counter()
@@ -121,13 +141,17 @@ def bleu4(
                     max_ref[g] = max(max_ref[g], cnt)
             p_num[n] += sum(min(cnt, max_ref.get(g, 0)) for g, cnt in c_ngrams.items())
             p_den[n] += max(sum(c_ngrams.values()), 0)
-    if any(d == 0 for d in p_den) or any(n == 0 for n in p_num):
-        # smooth: treat zero counts as tiny to avoid log(0) on tiny corpora
-        precisions = [max(n, 1e-9) / max(d, 1) for n, d in zip(p_num, p_den)]
-    else:
-        precisions = [n / d for n, d in zip(p_num, p_den)]
-    bp = 1.0 if cand_len > ref_len else math.exp(1 - ref_len / max(cand_len, 1))
-    return bp * math.exp(sum(math.log(p) for p in precisions) / 4)
+    # cumulative product, k-th root (BleuScorer.compute_score)
+    bleu = 1.0
+    bleus = []
+    for k in range(4):
+        bleu *= (float(p_num[k]) + tiny) / (float(p_den[k]) + small)
+        bleus.append(bleu ** (1.0 / (k + 1)))
+    ratio = (cand_len + tiny) / (ref_len + small)
+    if ratio < 1:
+        bp = math.exp(1 - 1.0 / ratio)
+        bleus = [b * bp for b in bleus]
+    return bleus[3]
 
 
 def score_captions(

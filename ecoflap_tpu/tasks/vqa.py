@@ -105,10 +105,20 @@ def normalize_answer(ans: str) -> str:
 
 
 def vqa_accuracy(pred: str, gt_answers: Sequence[str]) -> float:
-    """Official VQA accuracy: mean over 10 leave-one-out subsets of
-    min(#matches/3, 1) (vqa_eval.py:202-230)."""
+    """Official VQA accuracy, oracle-locked against the reference's vendored
+    VQAEval (vqa_eval.py:209-231, tests/test_metric_oracles.py):
+
+    * the *prediction* gets the full pipeline (punctuation + digit/article),
+    * GT answers get ``processPunctuation`` ONLY, and only when the GT set
+      has more than one distinct answer (vqa_eval.py:219-221) — this
+      asymmetry (articles/digit-words survive in GTs) is load-bearing,
+    * accuracy = mean over leave-one-out subsets of min(#matches/3, 1).
+    """
     pred = normalize_answer(pred)
-    gts = [normalize_answer(a) for a in gt_answers]
+    if len(set(gt_answers)) > 1:
+        gts = [process_punctuation(a) for a in gt_answers]
+    else:
+        gts = list(gt_answers)
     accs = []
     for i in range(len(gts)):
         others = gts[:i] + gts[i + 1:]
@@ -118,10 +128,23 @@ def vqa_accuracy(pred: str, gt_answers: Sequence[str]) -> float:
 
 
 def score_vqa(results: Iterable[Dict]) -> Dict[str, float]:
-    """results: [{"answer": pred, "gt_answers": [10 strings]}] -> overall acc
-    percentage (reference reports *100, vqa.py:141-183)."""
-    scores = [vqa_accuracy(r["answer"], r["gt_answers"]) for r in results]
-    return {"agg_metrics": 100.0 * sum(scores) / max(len(scores), 1)}
+    """results: [{"answer": pred, "gt_answers": [10 strings],
+    "answer_type": optional}] -> overall acc percentage plus per-answer-type
+    breakdown, rounded to 2 decimals exactly like VQAEval.setAccuracy
+    (vqa_eval.py:276-290) reported through the task (vqa.py:156-176)."""
+    scores: List[float] = []
+    per_type: Dict[str, List[float]] = {}
+    for r in results:
+        acc = vqa_accuracy(r["answer"], r["gt_answers"])
+        scores.append(acc)
+        at = r.get("answer_type")
+        if at is not None:
+            per_type.setdefault(at, []).append(acc)
+    overall = round(100.0 * sum(scores) / max(len(scores), 1), 2)
+    out = {"agg_metrics": overall, "overall": overall}
+    for at, vals in per_type.items():
+        out[at] = round(100.0 * sum(vals) / len(vals), 2)
+    return out
 
 
 # --- GQA / exact match (vqa.py:185-251) ------------------------------------

@@ -1,0 +1,227 @@
+"""Metric oracles: scorers locked against the reference implementations.
+
+* VQA: golden fixtures in ``fixtures_vqa_golden.json`` were produced by
+  running the reference's vendored scorer
+  (``LAVIS/lavis/common/vqa_tools/vqa_eval.py`` ``VQAEval.evaluate``) once
+  offline on 49 crafted answer sets covering every normalization branch
+  (contractions, digit map, article drop, punctuation modes, comma-number,
+  the single-distinct-GT fast path, whitespace). The reference is NOT
+  imported at test runtime — the expected numbers are vendored.
+
+* CIDEr-D / BLEU-4: pycocoevalcap is not installable in this image, so the
+  oracle is (a) closed-form hand-derived values, and (b) an independent
+  in-test reimplementation of pycocoevalcap's ``cider_scorer.py`` /
+  ``bleu_scorer.py`` algorithms (dense numpy vectors / literal pseudo-code
+  transcription, structured differently from the production scorer) compared
+  on randomized corpora — the same labeled-parity-oracle pattern as
+  tests/test_sparsegpt.py's torch oracle.
+"""
+
+import json
+import math
+import os
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+
+from ecoflap_tpu.tasks import captioning, vqa
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures_vqa_golden.json")
+
+
+# ---------------------------------------------------------------------------
+# VQA vs reference VQAEval goldens
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vqa_golden():
+    with open(FIXTURES) as f:
+        return json.load(f)
+
+
+def test_vqa_per_question_matches_reference(vqa_golden):
+    cases = vqa_golden["cases"]
+    expected = vqa_golden["golden"]["perQuestion"]
+    for qid, case in enumerate(cases):
+        acc = vqa.vqa_accuracy(case["pred"], case["gts"])
+        got = round(100.0 * acc, 2)
+        assert got == pytest.approx(expected[str(qid)], abs=1e-9), (
+            f"case {qid}: pred={case['pred']!r} gts[0]={case['gts'][0]!r}: "
+            f"{got} != {expected[str(qid)]}"
+        )
+
+
+def test_vqa_overall_and_per_type_match_reference(vqa_golden):
+    results = [
+        {"answer": c["pred"], "gt_answers": c["gts"], "answer_type": c["answer_type"]}
+        for c in vqa_golden["cases"]
+    ]
+    out = vqa.score_vqa(results)
+    golden = vqa_golden["golden"]
+    assert out["agg_metrics"] == pytest.approx(golden["overall"], abs=1e-9)
+    for at, val in golden["perAnswerType"].items():
+        assert out[at] == pytest.approx(val, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# CIDEr-D closed form + independent oracle
+# ---------------------------------------------------------------------------
+
+def test_cider_d_closed_form_perfect_disjoint():
+    """Two images, disjoint vocab, candidate == only ref: every n-gram has
+    df=1 so idf=log(2); hyp vec == ref vec -> cosine 1 per n, delta=0
+    -> 10.0 exactly."""
+    caps = ["a b c d e", "f g h i j"]
+    refs = [["a b c d e"], ["f g h i j"]]
+    assert captioning.cider_d(caps, refs) == pytest.approx(10.0, abs=1e-12)
+
+
+def test_cider_d_closed_form_single_image_zero_idf():
+    """One image: log(num_images)=0 and df=1 for its own n-grams, so every
+    idf is 0 -> zero vectors -> score 0 (pycocoevalcap behaves the same)."""
+    assert captioning.cider_d(["a b c"], [["a b c"]]) == pytest.approx(0.0)
+
+
+def _oracle_cider_d(cands, refs_list, n_max=4, sigma=6.0):
+    """Independent transcription of pycocoevalcap cider_scorer.py using
+    dense numpy vectors over an explicit n-gram index."""
+    ctoks = [captioning.tokenize(c) for c in cands]
+    rtoks = [[captioning.tokenize(r) for r in refs] for refs in refs_list]
+
+    def counts(toks, n):
+        out = defaultdict(int)
+        for i in range(len(toks) - n + 1):
+            out[tuple(toks[i:i + n])] += 1
+        return out
+
+    doc_freq = [defaultdict(float) for _ in range(n_max)]
+    for refs in rtoks:
+        for n in range(n_max):
+            for g in set(g for r in refs for g in counts(r, n + 1)):
+                doc_freq[n][g] += 1
+    log_ref = np.log(float(len(rtoks)))
+
+    scores = []
+    for cand, refs in zip(ctoks, rtoks):
+        # explicit vocab per n so the oracle's data layout differs
+        score = 0.0
+        for n in range(n_max):
+            vocab = sorted(
+                set(counts(cand, n + 1))
+                | set(g for r in refs for g in counts(r, n + 1))
+            )
+            idx = {g: i for i, g in enumerate(vocab)}
+            idf = np.array(
+                [log_ref - np.log(max(doc_freq[n][g], 1.0)) for g in vocab]
+            )
+
+            def vec(toks):
+                v = np.zeros(len(vocab))
+                for g, c in counts(toks, n + 1).items():
+                    v[idx[g]] = c
+                return v * idf
+
+            h = vec(cand)
+            hn = np.linalg.norm(h)
+            acc = 0.0
+            for r in refs:
+                rv = vec(r)
+                rn = np.linalg.norm(rv)
+                num = float(np.sum(np.minimum(h, rv) * rv))
+                sim = num / (hn * rn) if hn > 0 and rn > 0 else 0.0
+                sim *= np.exp(-((len(cand) - len(r)) ** 2) / (2 * sigma**2))
+                acc += sim
+            score += acc / len(refs)
+        scores.append(10.0 * score / n_max)
+    return float(np.mean(scores))
+
+
+def _random_corpus(seed, n_imgs=12, n_refs=3):
+    rng = np.random.default_rng(seed)
+    vocab = ["cat", "dog", "red", "ball", "sits", "on", "a", "the", "runs",
+             "fast", "big", "small", "mat", "park", "man", "woman"]
+    def sent():
+        return " ".join(rng.choice(vocab, size=rng.integers(3, 10)))
+    cands = [sent() for _ in range(n_imgs)]
+    refs = [[sent() for _ in range(n_refs)] for _ in range(n_imgs)]
+    # make some candidates overlap refs heavily so clipping paths trigger
+    for i in range(0, n_imgs, 3):
+        refs[i][0] = cands[i]
+    for i in range(1, n_imgs, 4):
+        cands[i] = refs[i][1] + " extra"
+    return cands, refs
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_cider_d_matches_independent_oracle(seed):
+    cands, refs = _random_corpus(seed)
+    ours = captioning.cider_d(cands, refs)
+    oracle = _oracle_cider_d(cands, refs)
+    assert ours == pytest.approx(oracle, rel=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# BLEU-4 closed form + independent oracle
+# ---------------------------------------------------------------------------
+
+def test_bleu4_closed_form_prefix():
+    """cand 'a b c d' vs ref 'a b c d e f': all modified precisions are 1,
+    brevity penalty exp(1 - 6/4); the tiny/small fudges shift it by <1e-8."""
+    got = captioning.bleu4(["a b c d"], [["a b c d e f"]])
+    assert got == pytest.approx(math.exp(1 - 6.0 / 4.0), abs=1e-7)
+
+
+def test_bleu4_closed_form_identical():
+    got = captioning.bleu4(["a b c d e"], [["a b c d e"]])
+    assert got == pytest.approx(1.0, abs=1e-7)
+
+
+def _oracle_bleu(cands, refs_list, n=4):
+    """Literal transcription of pycocoevalcap BleuScorer.compute_score
+    (option='closest'), per-segment accumulation."""
+    small, tiny = 1e-9, 1e-15
+    totalcomps = {"testlen": 0, "reflen": 0,
+                  "guess": [0] * n, "correct": [0] * n}
+    for cand, refs in zip(cands, refs_list):
+        c = captioning.tokenize(cand)
+        testlen = len(c)
+        reflen = None
+        for r in refs:
+            rl = len(captioning.tokenize(r))
+            if reflen is None or abs(rl - testlen) < abs(reflen - testlen):
+                reflen = rl
+        totalcomps["testlen"] += testlen
+        totalcomps["reflen"] += reflen
+        for k in range(1, n + 1):
+            cgram = Counter(tuple(c[i:i + k]) for i in range(len(c) - k + 1))
+            refmax = Counter()
+            for r in refs:
+                rt = captioning.tokenize(r)
+                for g, cnt in Counter(
+                    tuple(rt[i:i + k]) for i in range(len(rt) - k + 1)
+                ).items():
+                    refmax[g] = max(refmax[g], cnt)
+            totalcomps["guess"][k - 1] += sum(cgram.values())
+            totalcomps["correct"][k - 1] += sum(
+                min(cnt, refmax.get(g, 0)) for g, cnt in cgram.items()
+            )
+    bleus = []
+    bleu = 1.0
+    for k in range(n):
+        bleu *= (float(totalcomps["correct"][k]) + tiny) / (
+            float(totalcomps["guess"][k]) + small
+        )
+        bleus.append(bleu ** (1.0 / (k + 1)))
+    ratio = (totalcomps["testlen"] + tiny) / (totalcomps["reflen"] + small)
+    if ratio < 1:
+        bleus = [b * math.exp(1 - 1.0 / ratio) for b in bleus]
+    return bleus[n - 1]
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12, 13])
+def test_bleu4_matches_independent_oracle(seed):
+    cands, refs = _random_corpus(seed)
+    ours = captioning.bleu4(cands, refs)
+    oracle = _oracle_bleu(cands, refs)
+    assert ours == pytest.approx(oracle, rel=1e-10)
