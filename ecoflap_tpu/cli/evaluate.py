@@ -151,10 +151,12 @@ def _synthetic_eval(args) -> Dict[str, Any]:
             return np.asarray(logits[:, 0])
 
         abcd = [tok._word_id(c) for c in "ABCD"]
+        token_len = lambda s: len(tok([s], max_length=10_000)[1][0].nonzero()[0])  # noqa: E731
         dev = [[f"q{i}", "w", "x", "y", "z", "B"] for i in range(5)]
         test = [[f"t{i}", "w", "x", "y", "z",
                  "ABCD"[rng.integers(0, 4)]] for i in range(8)]
-        task = MMLUTask(first_token_logits, abcd)
+        task = MMLUTask(first_token_logits, abcd, token_len_fn=token_len,
+                        max_tokens=2048)
         return runner.evaluate(
             task, {"college_physics": {"dev": dev, "test": test}})
 

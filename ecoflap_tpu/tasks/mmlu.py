@@ -11,7 +11,7 @@ The model plugs in as ``first_token_logits_fn(prompts: list[str]) ->
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -89,6 +89,27 @@ def gen_prompt(dev_rows: List[Sequence], subject: str, k: int) -> str:
     return prompt
 
 
+def crop_prompt(
+    subject: str,
+    dev_rows: List[Sequence],
+    prompt_end: str,
+    k: int,
+    token_len_fn: Callable[[str], int],
+    max_tokens: int = 2048,
+) -> str:
+    """Reference shot-reduction loop (mmlu_eval/evaluate_flan.py:59-64):
+    drop few-shot examples one at a time until the tokenized prompt fits
+    ``max_tokens``. Floor at k=0 (instruction + question only) — the
+    reference would loop forever on a question that alone exceeds the
+    budget; here the k=0 prompt is returned and truncation is the
+    tokenizer's problem, as in practice it is upstream too."""
+    prompt = gen_prompt(dev_rows, subject, k) + prompt_end
+    while k > 0 and token_len_fn(prompt) > max_tokens:
+        k -= 1
+        prompt = gen_prompt(dev_rows, subject, k) + prompt_end
+    return prompt
+
+
 def eval_subject(
     subject: str,
     dev_rows: List[Sequence],
@@ -97,11 +118,22 @@ def eval_subject(
     choice_token_ids: Sequence[int],
     k: int = 5,
     batch_size: int = 8,
+    token_len_fn: Optional[Callable[[str], int]] = None,
+    max_tokens: int = 2048,
 ) -> np.ndarray:
-    """-> boolean correctness array over test_rows."""
-    few_shot = gen_prompt(dev_rows, subject, k)
-    prompts = [few_shot + format_example(r, include_answer=False)
-               for r in test_rows]
+    """-> boolean correctness array over test_rows. With ``token_len_fn``
+    each prompt is independently shot-cropped to the token budget."""
+    if token_len_fn is not None:
+        prompts = [
+            crop_prompt(subject, dev_rows,
+                        format_example(r, include_answer=False), k,
+                        token_len_fn, max_tokens)
+            for r in test_rows
+        ]
+    else:
+        few_shot = gen_prompt(dev_rows, subject, k)
+        prompts = [few_shot + format_example(r, include_answer=False)
+                   for r in test_rows]
     answers = [CHOICES.index(r[5]) for r in test_rows]
     correct = []
     for i in range(0, len(prompts), batch_size):
@@ -136,11 +168,14 @@ def aggregate(per_subject: Dict[str, np.ndarray]) -> Dict[str, float]:
 @registry.register("task", "mmlu")
 class MMLUTask:
     def __init__(self, first_token_logits_fn=None, choice_token_ids=None,
-                 k: int = 5, batch_size: int = 8):
+                 k: int = 5, batch_size: int = 8, token_len_fn=None,
+                 max_tokens: int = 2048):
         self.fn = first_token_logits_fn
         self.choice_token_ids = choice_token_ids
         self.k = k
         self.batch_size = batch_size
+        self.token_len_fn = token_len_fn
+        self.max_tokens = max_tokens
 
     def evaluation(self, data: Dict[str, Dict[str, list]]) -> Dict[str, float]:
         """data: {subject: {"dev": rows, "test": rows}}."""
@@ -149,5 +184,6 @@ class MMLUTask:
             per_subject[subject] = eval_subject(
                 subject, splits["dev"], splits["test"], self.fn,
                 self.choice_token_ids, self.k, self.batch_size,
+                token_len_fn=self.token_len_fn, max_tokens=self.max_tokens,
             )
         return aggregate(per_subject)

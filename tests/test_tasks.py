@@ -122,3 +122,54 @@ def test_deep_merge_nested():
 def test_parse_dot_list_types():
     t = parse_dot_list(["a.b=0.5", "a.c=null", "d=hello"])
     assert t == {"a": {"b": 0.5, "c": None}, "d": "hello"}
+
+
+def test_mmlu_crop_prompt_drops_shots_to_budget():
+    """Reference shot-reduction loop (evaluate_flan.py:59-64): few-shot
+    examples drop one at a time until the tokenized prompt fits."""
+    from ecoflap_tpu.tasks import mmlu
+
+    dev = [[f"dev question {i}", "a", "b", "c", "d", "A"] for i in range(5)]
+    end = mmlu.format_example(["test question", "a", "b", "c", "d", "B"],
+                              include_answer=False)
+    wc = lambda s: len(s.split())  # noqa: E731
+
+    full = mmlu.crop_prompt("college_physics", dev, end, 5, wc,
+                            max_tokens=10_000)
+    assert full == mmlu.gen_prompt(dev, "college_physics", 5) + end
+
+    # budget that fits exactly k=2 shots
+    k2_len = wc(mmlu.gen_prompt(dev, "college_physics", 2) + end)
+    k3_len = wc(mmlu.gen_prompt(dev, "college_physics", 3) + end)
+    assert k3_len > k2_len
+    cropped = mmlu.crop_prompt("college_physics", dev, end, 5, wc,
+                               max_tokens=k2_len)
+    assert cropped == mmlu.gen_prompt(dev, "college_physics", 2) + end
+
+    # impossible budget floors at k=0 instead of looping forever
+    zero = mmlu.crop_prompt("college_physics", dev, end, 5, wc, max_tokens=1)
+    assert zero == mmlu.gen_prompt(dev, "college_physics", 0) + end
+
+
+def test_mmlu_eval_subject_crops_per_row():
+    """Rows with long questions get fewer shots; correctness still computed
+    against each row's own cropped prompt."""
+    from ecoflap_tpu.tasks import mmlu
+
+    dev = [[f"d{i}", "a", "b", "c", "d", "A"] for i in range(5)]
+    rows = [["short", "a", "b", "c", "d", "A"],
+            ["long " * 200, "a", "b", "c", "d", "B"]]
+    seen_prompts = []
+
+    def fn(prompts):
+        seen_prompts.extend(prompts)
+        out = np.zeros((len(prompts), 10), np.float32)
+        out[:, 3] = 1.0  # always predict choice id 3 -> letter A below
+        return out
+
+    wc = lambda s: len(s.split())  # noqa: E731
+    corr = mmlu.eval_subject("anatomy", dev, rows, fn, [3, 4, 5, 6], k=5,
+                             batch_size=2, token_len_fn=wc, max_tokens=60)
+    assert list(corr) == [True, False]
+    assert wc(seen_prompts[0]) <= 60          # short row: cropped to fit
+    assert "d0" not in seen_prompts[1]        # long row: all shots dropped
