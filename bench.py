@@ -14,6 +14,10 @@ Prints ONE JSON line:
 
 Env knobs:
   ECOFLAP_BENCH_PRESET    xl (default) | small  (small = CPU smoke)
+  ECOFLAP_BENCH_METHODS   comma list (zeroth,first,wanda,sparsegpt): run each
+                          method in its own subprocess (fresh axon allocation
+                          budget) and emit ONE merged JSON line — headline =
+                          the first listed method, others under "methods".
   ECOFLAP_BENCH_SAMPLES   calibration samples (default 128)
   ECOFLAP_BENCH_MESH      e.g. "dp=8" or "dp=4,tp=2" — run the WHOLE pruning
                           pipeline sharded over a (dp, tp) mesh (the v5e-8
@@ -205,7 +209,43 @@ def isolated_run() -> None:
     }))
 
 
+def multi_method_run(methods) -> None:
+    """One subprocess per method preset; merged single-line JSON. Each
+    child gets a fresh process (the axon cumulative-allocation budget is
+    per-process), so four XL runs back-to-back don't trip it."""
+    import subprocess
+
+    results = {}
+    for m in methods:
+        env = dict(os.environ)
+        env.pop("ECOFLAP_BENCH_METHODS", None)
+        env["ECOFLAP_BENCH_METHOD"] = m
+        log(f"[methods] running preset {m!r} ...")
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True)
+        sys.stderr.write(res.stderr)
+        if res.returncode != 0:
+            sys.stderr.write(res.stdout)
+            log(f"[methods] {m} FAILED rc={res.returncode}")
+            results[m] = {"error": res.returncode}
+            continue
+        results[m] = json.loads(res.stdout.strip().splitlines()[-1])
+    head = results[methods[0]]
+    out = dict(head)
+    out["methods"] = {
+        m: {k: r.get(k) for k in ("value", "vs_baseline", "phases", "error")
+            if k in r}
+        for m, r in results.items()
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
+    methods_env = os.environ.get("ECOFLAP_BENCH_METHODS")
+    if methods_env:
+        multi_method_run([m.strip() for m in methods_env.split(",") if m.strip()])
+        return
     if os.environ.get("ECOFLAP_SPARSEGPT_ISOLATE") == "1":
         isolated_run()
         return
@@ -337,6 +377,9 @@ def main() -> None:
         "value": round(wall, 2),
         "unit": "s",
         "vs_baseline": round(wall / baseline_s, 4),
+        # compile-vs-steady attribution: the coarse first item and each
+        # stack's fine stage absorb their remote compiles (VERDICT r2 weak 2)
+        "phases": getattr(pruner, "phase_times", {}),
     }
     counters = getattr(pruner, "_counters", None) or {}
     if stacks_env and counters:

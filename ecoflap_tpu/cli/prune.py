@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coarse_only", action="store_true",
                    help="compute + save the coarse-stage sparsity dict, "
                         "skip the fine stage")
+    p.add_argument("--host_stream", action="store_true",
+                   help="fine stage with HOST-resident weights, one block on "
+                        "device at a time (single-chip big-model mode; the "
+                        "reference analogue is LLaMA device_map streaming)")
     p.add_argument("--per_stack_process", action="store_true",
                    help="orchestrate: coarse stage then one subprocess per "
                         "stack, chaining checkpoints")
@@ -395,6 +399,7 @@ def main(argv=None) -> Dict[str, Any]:
         key=jax.random.PRNGKey(args.seed),
         consume_params=args.consume_params,
         hessian_bf16=args.hessian_bf16,
+        host_stream=args.host_stream,
     )
     if args.is_global:
         pruner_cfg = dict(

@@ -326,6 +326,110 @@ def _stream_prune_stack(
     return params
 
 
+def _host_stream_prune_stack(
+    stack: StackSpec,
+    params: PyTree,
+    batch: Any,
+    collect: str,
+    prune_weight_fn: Callable,
+    sparsity_ratio: Mapping[str, float],
+    num_chunks: int,
+    verbose: bool,
+    counters: Optional[Dict[str, int]] = None,
+) -> PyTree:
+    """Host-resident-weights variant of the streaming loop: the stack's
+    stacked leaves live in HOST memory (numpy) and only ONE block is on
+    device at a time.
+
+    This is the single-chip big-model mode (reference analogue: LLaMA
+    ``device_map="auto"`` layer streaming, LLaMA/main.py:70-72): a 7B
+    LLaMA's 13.5 GB of bf16 block weights never coexist with the
+    calibration activations on the 16 GB chip — device live-set is
+    2 activation buffers + one block (~200 MB) + chunk workspace. Per block:
+    upload -> fused collect+prune+re-forward (block params and activations
+    DONATED) -> download the pruned kernels. Upload/download traffic is one
+    model's worth each way per stack pass.
+
+    ``stack.prepare_inputs`` must not touch the stacked blocks (it computes
+    embeddings/biases only — true for every adapter in models/); the blocks
+    subtree is replaced by an empty container for the prepare program so the
+    host copies are never bulk-transferred.
+    """
+    import numpy as np
+
+    from ecoflap_tpu.core.pytree import get_leaf, set_leaf
+
+    assert stack.blocks_path is not None, "host_stream needs stacked storage"
+    l2p = stack.local_to_path or {}
+    def to_host(a):
+        h = np.asarray(a)
+        # device->host views are read-only; the loop writes pruned kernels
+        return h if h.flags.writeable else h.copy()
+
+    blocks = get_leaf(params, stack.blocks_path)
+    host_blocks = jax.tree_util.tree_map(to_host, blocks)
+    del blocks
+    params_light = set_leaf(params, stack.blocks_path, ())
+
+    prep = jax.jit(
+        functools.partial(chunked_prepare, stack.prepare_inputs,
+                          num_chunks=num_chunks)
+    )
+    import time as _time
+
+    _t0 = _time.time()
+    x, cache = prep(params_light, batch)
+    n_seq = jnp.float32(_num_sequences(x))
+    if verbose:
+        x.block_until_ready()
+        print(f"prepared inputs ({stack.name}, host-stream) "
+              f"+{_time.time() - _t0:.1f}s")
+
+    kernel_paths = sorted({f"{l2p.get(l, l)}.kernel"
+                           for l in stack.linear_names})
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def host_fused_step(bp, x, cache, n_seq, ratios):
+        """collect -> prune -> re-forward for ONE device-resident block."""
+        _, stats = chunked_block_apply(
+            stack.block_forward, bp, x, cache, collect, num_chunks)
+        new_bp = bp
+        zeros = jnp.zeros((), jnp.int32)
+        numel = 0
+        for local in stack.linear_names:
+            path = f"{l2p.get(local, local)}.kernel"
+            w = get_leaf(new_bp, path)
+            w2 = prune_weight_fn(
+                w.T.astype(jnp.float32), stats[local], n_seq, ratios[local])
+            zeros = zeros + jnp.sum(w2 == 0).astype(jnp.int32)
+            numel += w2.size
+            new_bp = set_leaf(new_bp, path, w2.T.astype(w.dtype))
+        x2, _ = chunked_block_apply(
+            stack.block_forward, new_bp, x, cache, None, num_chunks)
+        return new_bp, x2, (zeros, numel)
+
+    for i in range(stack.num_blocks):
+        if verbose:
+            print(f"pruning block {i} ({stack.name}, host-stream) "
+                  f"+{_time.time() - _t0:.1f}s")
+        ratios = {
+            local: jnp.float32(sparsity_ratio[stack.weight_key(i, local)])
+            for local in stack.linear_names
+        }
+        bp = jax.device_put(
+            jax.tree_util.tree_map(lambda a: a[i], host_blocks))
+        bp, x, (zeros, numel) = host_fused_step(bp, x, cache, n_seq, ratios)
+        for path in kernel_paths:
+            host_leaf = get_leaf(host_blocks, path)
+            host_leaf[i] = np.asarray(get_leaf(bp, path))
+        if counters is not None:
+            counters["zeros"] = counters.get("zeros", 0) + int(zeros)
+            counters["total"] = counters.get("total", 0) + int(numel)
+        del bp
+        x.block_until_ready()
+    return set_leaf(params, stack.blocks_path, host_blocks)
+
+
 def prune_stack_wanda(
     stack: StackSpec,
     params: PyTree,
@@ -338,6 +442,7 @@ def prune_stack_wanda(
     counters: Optional[Dict[str, int]] = None,
     fuse_block_step: bool = False,
     consume_params: bool = False,
+    host_stream: bool = False,
 ) -> PyTree:
     """Wanda-prune one stack, streaming calibration activations once."""
 
@@ -351,6 +456,11 @@ def prune_stack_wanda(
             mask = mask_per_tensor(metric, ratio)
         return apply_mask(w, mask)
 
+    if host_stream:
+        return _host_stream_prune_stack(
+            stack, params, batch, "wanda", prune_weight, sparsity_ratio,
+            num_chunks, verbose, counters,
+        )
     return _stream_prune_stack(
         stack, params, batch, "wanda", prune_weight, sparsity_ratio,
         num_chunks, verbose, counters, fuse_block_step, consume_params,
@@ -372,6 +482,7 @@ def prune_stack_sparsegpt(
     fuse_block_step: bool = False,
     consume_params: bool = False,
     hessian_bf16: bool = False,
+    host_stream: bool = False,
 ) -> PyTree:
     """SparseGPT-prune one stack (Hessian per linear, OBS column sweep).
 
@@ -389,6 +500,12 @@ def prune_stack_sparsegpt(
             prune_n=prune_n, prune_m=prune_m,
         )
 
+    if host_stream:
+        return _host_stream_prune_stack(
+            stack, params, batch,
+            "hessian_bf16" if hessian_bf16 else "hessian",
+            prune_weight, sparsity_ratio, num_chunks, verbose, counters,
+        )
     return _stream_prune_stack(
         stack, params, batch, "hessian_bf16" if hessian_bf16 else "hessian",
         prune_weight, sparsity_ratio,

@@ -203,8 +203,42 @@ def first_order_group_sums(
     # residuals alone are ~10 GB without it (see layers.remat_scans)
     import numpy as np
 
+    batches = list(batches)
+    if not batches:
+        raise ValueError("no calibration batches provided")
+
+    # Overlap the per-partition backward COMPILES: each partition's first
+    # call traces+compiles its own program (the remat'd 39-block ViT backward
+    # alone costs 300-500 s through the axon remote compile service,
+    # ROUND2_NOTES.md) — issuing them from concurrent threads lets the
+    # compile server work on all partitions at once instead of serially,
+    # while executions still serialize on the device. The per-partition
+    # outputs are small stacked vectors, so concurrent in-flight executions
+    # don't stress device memory. remat_scans is THREAD-LOCAL trace state:
+    # each worker re-enters it.
+    import os
+
+    if (os.environ.get("ECOFLAP_PARALLEL_COMPILE", "1") == "1"
+            and len(part_fns) > 1):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def warm(arg):
+            pi, (names, fn) = arg
+            with remat_scans():
+                vals = np.asarray(fn(params, batches[0]))
+            return pi, names, vals
+
+        with ThreadPoolExecutor(max_workers=len(part_fns)) as ex:
+            for pi, names, vals in ex.map(warm, enumerate(part_fns)):
+                if progress is not None:
+                    progress(0, pi)
+                for k, v in zip(names, vals):
+                    acc[k] = acc.get(k, 0.0) + float(v)
+        nb = 1
+        batches = batches[1:]
+
     with remat_scans():
-        for bi, batch in enumerate(batches):
+        for bi, batch in enumerate(batches, start=nb):
             for pi, (names, fn) in enumerate(part_fns):
                 if progress is not None:
                     progress(bi, pi)
@@ -212,8 +246,6 @@ def first_order_group_sums(
                 for k, v in zip(names, vals):
                     acc[k] = acc.get(k, 0.0) + float(v)
             nb += 1
-    if nb == 0:
-        raise ValueError("no calibration batches provided")
     return {k: v / nb for k, v in acc.items()}
 
 

@@ -84,6 +84,7 @@ class TwoStagePruner:
         # the axon cumulative-allocation budget never trips (ROUND2_NOTES.md)
         fuse_block_step: Any = True,
         consume_params: bool = False,
+        host_stream: bool = False,
         hessian_bf16: bool = False,
         verbose: bool = True,
         **kwargs: Any,
@@ -94,6 +95,7 @@ class TwoStagePruner:
         self.eval_chunk_size = eval_chunk_size
         self.fuse_block_step = fuse_block_step
         self.consume_params = consume_params
+        self.host_stream = host_stream
         self.hessian_bf16 = hessian_bf16
         self.prune_spec = prune_spec
         self.stack_specs = dict(stack_specs or {})
@@ -158,6 +160,7 @@ class TwoStagePruner:
             per_model_group=list(self.adapter.model_prefixes.values()),
             key=self.key,
             noise_mode=self.noise_mode,
+            on_progress=self._coarse_mark,
             partition_prefixes=[
                 s.blocks_path for s in self.adapter.stacks
                 if s.blocks_path is not None
@@ -189,6 +192,7 @@ class TwoStagePruner:
                 counters=self._counters,
                 fuse_block_step=self._fuse_for(stack),
                 consume_params=self.consume_params,
+                host_stream=self.host_stream,
             )
         if self.local_method == "sparsegpt":
             return prune_stack_sparsegpt(
@@ -204,6 +208,7 @@ class TwoStagePruner:
                 fuse_block_step=self._fuse_for(stack),
                 consume_params=self.consume_params,
                 hessian_bf16=self.hessian_bf16,
+                host_stream=self.host_stream,
             )
         raise ValueError(self.local_method)
 
@@ -216,12 +221,22 @@ class TwoStagePruner:
             return f
         return stack.name in f
 
+    def _coarse_mark(self, i: int) -> None:
+        if not hasattr(self, "_coarse_marks"):
+            self._coarse_marks = []
+        self._coarse_marks.append(time.time())
+
     def prune(self):
         """Returns (pruned_params, sparsity_dict) — reference ``prune()``
-        contract (wanda_pruner.py:799-876)."""
+        contract (wanda_pruner.py:799-876). ``phase_times`` afterwards holds
+        the wall split: coarse stage (with first-item vs steady attribution —
+        the first scored item absorbs the remote compiles) and per-stack fine
+        stages (each stack's first block likewise carries its compile)."""
         t0 = time.time()
         params = self.adapter.params
         self._counters: Dict[str, int] = {}
+        self._coarse_marks: list = []
+        self.phase_times: Dict[str, float] = {}
 
         # Coarse stage runs once over the union of stacks when granularity is
         # requested (blipt5 orchestrator, wanda_pruner.py:803-812).
@@ -241,6 +256,39 @@ class TwoStagePruner:
             global_dict = self.get_sparsity(
                 ratios.pop(), self.sparsity_ratio_granularity
             )
+            tc = time.time()
+            self.phase_times["coarse_s"] = round(tc - t0, 2)
+            if self._coarse_marks:
+                # setup (plan/program builds; under parallel compile warm the
+                # first mark lands after the overlapped compiles finish)
+                self.phase_times["coarse_to_first_mark_s"] = round(
+                    self._coarse_marks[0] - t0, 2)
+            if len(self._coarse_marks) >= 2:
+                # item 0 starts at marks[0], item 1 at marks[1]: the gap is
+                # the first item's full duration incl. its program compiles
+                self.phase_times["coarse_first_item_s"] = round(
+                    self._coarse_marks[1] - self._coarse_marks[0], 2)
+                self.phase_times["coarse_steady_s"] = round(
+                    tc - self._coarse_marks[1], 2)
+
+        if self.host_stream:
+            # Pull every stack's stacked leaves to HOST and drop the device
+            # copies BEFORE the fine stage: the streaming loop re-uploads one
+            # block at a time, and a 7B LLaMA's 13 GB of device-resident
+            # blocks would otherwise coexist with the calibration
+            # activations (engine._host_stream_prune_stack).
+            import numpy as np
+
+            from ecoflap_tpu.core.pytree import get_leaf, set_leaf
+
+            for stack in self.adapter.stacks:
+                if stack.blocks_path is None:
+                    continue
+                leaf = get_leaf(params, stack.blocks_path)
+                host = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a).copy(), leaf)
+                params = set_leaf(params, stack.blocks_path, host)
+            self.adapter.params = params
 
         for stack in self.adapter.stacks:
             spec = self._spec_for_stack(stack.name)
@@ -252,7 +300,10 @@ class TwoStagePruner:
                 if global_dict is not None
                 else UniformSparsity(sparsity_ratio)
             )
+            ts = time.time()
             params = self._prune_stack(stack, params, stack_dict)
+            self.phase_times[f"fine_{stack.name}_s"] = round(
+                time.time() - ts, 2)
 
         self.adapter.params = params
         if self.verbose:

@@ -40,6 +40,22 @@ LossFn = Callable[[PyTree, Any], jax.Array]
 SparsityDict = Union[Dict[str, float], UniformSparsity]
 
 
+def _mk_progress(verbose, on_progress, fmt):
+    """Progress callback combining the verbose print with an optional
+    machine hook (phase instrumentation); None when neither is wanted."""
+    if not verbose and on_progress is None:
+        return None
+    t0 = time.time()
+
+    def cb(*a):
+        if on_progress is not None:
+            on_progress(int(a[0]))
+        if verbose:
+            print(fmt(*a, time.time() - t0))
+
+    return cb
+
+
 def _split_method(score_method: str):
     compute, aggregate = score_method.split("_")
     return compute, aggregate
@@ -66,6 +82,7 @@ def compute_layer_sparsity(
     loss_plans: Optional[Sequence[Any]] = None,
     eval_chunks: Optional[int] = None,
     verbose: bool = True,
+    on_progress: Optional[Callable[[int], None]] = None,
 ) -> SparsityDict:
     """ECoFLaP coarse stage: per-layer sparsity ratios under a global budget.
 
@@ -113,11 +130,9 @@ def compute_layer_sparsity(
             noise_mode=noise_mode,
             loss_plans=loss_plans,
             eval_chunks=eval_chunks,
-            progress=(
-                (lambda i, n, _t0=time.time():
-                 print(f"{i} {n} +{time.time() - _t0:.1f}s"))
-                if verbose else None
-            ),
+            progress=_mk_progress(
+                verbose, on_progress,
+                lambda i, n, dt: f"{i} {n} +{dt:.1f}s"),
         )
         importance_sums = mezo_group_sums(
             params, scored_targets, leaf_scores, score_compute
@@ -129,11 +144,9 @@ def compute_layer_sparsity(
         importance_sums = first_order_group_sums(
             loss_fn, params, batches, scored_targets, score_compute,
             partition_prefixes=partition_prefixes,
-            progress=(
-                (lambda b, p, _t0=time.time():
-                 print(f"grad batch {b} part {p} +{time.time() - _t0:.1f}s"))
-                if verbose else None
-            ),
+            progress=_mk_progress(
+                verbose, on_progress,
+                lambda b, p, dt: f"grad batch {b} part {p} +{dt:.1f}s"),
         )
 
     # ---- group aggregation (return_sparsity, :343-377) -------------------

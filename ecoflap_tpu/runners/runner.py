@@ -292,11 +292,20 @@ class IterTrainRunner(TrainRunner):
 
 
 def global_sparsity(params: PyTree) -> float:
-    """Σ(p==0)/Σnumel over all leaves (evaluate_blip.py:432-436)."""
+    """Σ(p==0)/Σnumel over all leaves (evaluate_blip.py:432-436).
+
+    Host (numpy) leaves — e.g. after a --host_stream prune — count on the
+    host: a jnp reduction would round-trip every block's weights through the
+    device (13 GB at LLaMA-7B) just to count zeros."""
+    import numpy as np
+
     import jax.numpy as jnp
 
     zeros = total = 0
     for leaf in jax.tree_util.tree_leaves(params):
-        zeros += int(jnp.sum(leaf == 0))
+        if isinstance(leaf, np.ndarray):
+            zeros += int(np.sum(leaf == 0))
+        else:
+            zeros += int(jnp.sum(leaf == 0))
         total += int(leaf.size)
     return zeros / max(total, 1)

@@ -239,3 +239,37 @@ def test_hessian_bf16_mask_parity():
         agree = (a == b).mean()
         assert agree > 0.99, (name, agree)
         assert abs(a.mean() - b.mean()) < 0.01
+
+
+def test_host_stream_matches_device_resident():
+    """Host-resident-weights streaming (the single-chip big-model mode) must
+    produce bit-identical pruned weights to the device-resident fused path,
+    for both wanda and sparsegpt."""
+    import numpy as np
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.pruning.engine import (
+        prune_stack_sparsegpt,
+        prune_stack_wanda,
+    )
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    stack = llama.make_stack(cfg)
+    rng = np.random.default_rng(0)
+    batch = {"input_ids": jnp.asarray(
+        rng.integers(2, cfg.vocab_size, size=(8, 16)), jnp.int32)}
+    ratios = {
+        stack.weight_key(i, l): 0.3 + 0.05 * (i % 3)
+        for i in range(stack.num_blocks) for l in stack.linear_names
+    }
+
+    for fn in (prune_stack_wanda, prune_stack_sparsegpt):
+        ref = fn(stack, params, batch, ratios, num_chunks=2, verbose=False,
+                 fuse_block_step=True)
+        got = fn(stack, params, batch, ratios, num_chunks=2, verbose=False,
+                 host_stream=True)
+        ref_leaves = jax.tree_util.tree_leaves(ref)
+        got_leaves = jax.tree_util.tree_leaves(got)
+        for a, b in zip(ref_leaves, got_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -154,3 +154,39 @@ def test_global_mezo_whole_tensor_masks(setup):
         w = np.asarray(t.get(params))
         frac = (w == 0).mean()
         assert frac in (0.0, 1.0)
+
+
+def test_two_stage_pruner_host_stream_end_to_end():
+    """Full TwoStagePruner with host_stream: coarse on device params, blocks
+    pulled to host before the fine stage, dict + sparsity identical to the
+    device-resident run."""
+    import numpy as np
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.pruning.pruners import WandaPruner
+
+    cfg = llama.tiny_config()
+    rng = np.random.default_rng(0)
+    batch = {"input_ids": jnp.asarray(
+        rng.integers(2, cfg.vocab_size, size=(16, 12)), jnp.int32)}
+
+    def run(host_stream):
+        params = llama.init_params(cfg, jax.random.PRNGKey(5))
+        pruner = WandaPruner(
+            llama.make_adapter(cfg, params), batch, num_microbatches=4,
+            stack_specs={"model.layers": f"{cfg.num_layers}-0.5-1.0-1.0"},
+            sparsity_ratio_granularity="block",
+            score_method="MEZO-GradOnly_sum", num_data_first_stage=8,
+            max_sparsity_per_layer=0.7, key=jax.random.PRNGKey(0),
+            host_stream=host_stream, verbose=False,
+        )
+        pruned, sdict = pruner.prune()
+        return pruned, sdict, pruner.check_sparsity()
+
+    ref_params, ref_dict, ref_sp = run(False)
+    hs_params, hs_dict, hs_sp = run(True)
+    assert ref_dict == hs_dict
+    assert abs(ref_sp - hs_sp) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(hs_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
