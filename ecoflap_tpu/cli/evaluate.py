@@ -41,12 +41,49 @@ def build_parser():
     p.add_argument("--length_penalty", type=float, default=-1.0)
     p.add_argument("--seqlen", type=int, default=2048)
     p.add_argument("--output_dir", default="output")
+    p.add_argument("--mesh", default="none", choices=["none", "dp"],
+                   help="'dp': data-parallel eval — batch leaves sharded "
+                        "over a dp mesh of all visible devices, params "
+                        "replicated; XLA partitions the jitted generate/"
+                        "predict programs (batch_size must be divisible by "
+                        "the device count)")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--vocab_size", type=int, default=None,
                    help="tiny-scale T5 vocab override (e.g. to match a "
                         "--tokenizer_path vocab)")
     return p
+
+
+def _eval_mesh(args):
+    """dp mesh for sharded evaluation (or None)."""
+    if getattr(args, "mesh", "none") == "none":
+        return None
+    from ecoflap_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(tp=1)
+
+
+def _replicate(mesh, params):
+    """Replicate params over the eval mesh (no-op when mesh is None)."""
+    if mesh is None:
+        return params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(params, NamedSharding(mesh, P()))
+
+
+def _shard_arrays(mesh, arrays):
+    """Shard a dict of batch arrays over dp (no-op when mesh is None).
+
+    jit consumes the shardings and partitions the generate/predict program —
+    per-sample decode work (beam search included) splits cleanly along the
+    batch axis, so eval throughput scales with the dp extent."""
+    if mesh is None:
+        return arrays
+    from ecoflap_tpu.parallel.sharding import shard_batch
+
+    return shard_batch(arrays, mesh)
 
 
 def _init_params(init_fn, cfg, args):
@@ -93,11 +130,16 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
                              num_beams=args.num_beams,
                              length_penalty=args.length_penalty)
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
 
         def predict_fn(batch):
             ids, mask = tok(batch["text_input"], max_length=8)
-            out = blip2.generate(cfg, params, jnp.asarray(batch["image"]),
-                                 jnp.asarray(ids), jnp.asarray(mask), gen)
+            arrs = _shard_arrays(mesh, {
+                "image": jnp.asarray(batch["image"]),
+                "ids": jnp.asarray(ids), "mask": jnp.asarray(mask)})
+            out = blip2.generate(cfg, params, arrs["image"], arrs["ids"],
+                                 arrs["mask"], gen)
             return [tok.decode(list(map(int, row))) for row in np.asarray(out)]
 
         n = 2 * args.batch_size
@@ -120,10 +162,12 @@ def _synthetic_eval(args) -> Dict[str, Any]:
             rng.integers(1, cfg.text.vocab_size,
                          size=(10, cfg.text.context_length)), jnp.int32)
         classifier = clip_mod.zero_shot_classifier(cfg, params, prompts, 10)
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
 
         def predict_fn(batch):
-            return clip_mod.predict(cfg, params, jnp.asarray(batch["image"]),
-                                    classifier)
+            arrs = _shard_arrays(mesh, {"image": jnp.asarray(batch["image"])})
+            return clip_mod.predict(cfg, params, arrs["image"], classifier)
 
         img = (cfg.eva_visual.img_size if cfg.eva_visual else cfg.visual.img_size)
         batches = [{
@@ -200,12 +244,17 @@ def _real_eval(args) -> Dict[str, Any]:
                              length_penalty=args.length_penalty)
         vis = ImageEvalProcessor(image_size=cfg.vit.img_size)
         prompt = "Question: {} Short answer:"
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
 
         def predict_fn(batch):
             texts = [prompt.format(q) for q in batch["text_input"]]
             ids, mask = tok(texts, max_length=32)
-            out = blip2.generate(cfg, params, jnp.asarray(batch["image"]),
-                                 jnp.asarray(ids), jnp.asarray(mask), gen)
+            arrs = _shard_arrays(mesh, {
+                "image": jnp.asarray(batch["image"]),
+                "ids": jnp.asarray(ids), "mask": jnp.asarray(mask)})
+            out = blip2.generate(cfg, params, arrs["image"], arrs["ids"],
+                                 arrs["mask"], gen)
             return [tok.decode(list(map(int, row))) for row in np.asarray(out)]
 
         name = {"vqa": "coco_vqa", "gqa": "gqa",
@@ -217,8 +266,11 @@ def _real_eval(args) -> Dict[str, Any]:
         if args.task == "captioning":
             def gen_fn(batch):
                 ids, mask = tok([""] * len(batch["image"]), max_length=4)
-                out = blip2.generate(cfg, params, jnp.asarray(batch["image"]),
-                                     jnp.asarray(ids), jnp.asarray(mask), gen)
+                arrs = _shard_arrays(mesh, {
+                    "image": jnp.asarray(batch["image"]),
+                    "ids": jnp.asarray(ids), "mask": jnp.asarray(mask)})
+                out = blip2.generate(cfg, params, arrs["image"], arrs["ids"],
+                                     arrs["mask"], gen)
                 return [tok.decode(list(map(int, r))) for r in np.asarray(out)]
             task = CaptionTask(gen_fn)
         else:
@@ -251,10 +303,12 @@ def _real_eval(args) -> Dict[str, Any]:
         ids, _ = tok(prompts, max_length=cfg.text.context_length)
         classifier = clip_mod.zero_shot_classifier(
             cfg, params, jnp.asarray(ids), len(ds.classnames))
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
 
         def predict_fn(batch):
-            return clip_mod.predict(cfg, params, jnp.asarray(batch["image"]),
-                                    classifier)
+            arrs = _shard_arrays(mesh, {"image": jnp.asarray(batch["image"])})
+            return clip_mod.predict(cfg, params, arrs["image"], classifier)
 
         task = ClassificationTask(predict_fn)
         return runner.evaluate(

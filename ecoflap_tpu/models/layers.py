@@ -115,19 +115,12 @@ def attention(
     qh = q.reshape(b, sq, num_heads, dh).transpose(0, 2, 1, 3)
     kh = k.reshape(b, sk, num_heads, dh).transpose(0, 2, 1, 3)
     vh = v.reshape(b, sk, num_heads, dh).transpose(0, 2, 1, 3)
-    # score tensor dtype follows the activation dtype: the MXU accumulates in
-    # f32 regardless, but writing bf16 scores halves the dominant HBM traffic
-    # of long-sequence attention (the (B,H,S,S) tensor). Softmax still
-    # reduces in f32 (fused upcast, no extra HBM copy). f32 inputs keep f32
-    # scores, so CPU parity tests are bit-compatible.
-    score_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=score_dtype
-    )
-    if bias is not None:
-        scores = scores + bias.astype(score_dtype)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
+    # Routed through ops/attention.py: short sequences keep the exact naive
+    # score-tensor math (bit-compatible CPU parity tests), long ones go
+    # memory-efficient (chunked online softmax / Pallas flash on TPU).
+    from ecoflap_tpu.ops.attention import mha
+
+    out = mha(qh, kh, vh, sm_scale=scale, bias=bias)
     return out.transpose(0, 2, 1, 3).reshape(b, sq, num_heads * dh).astype(q.dtype)
 
 

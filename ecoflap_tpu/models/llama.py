@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ecoflap_tpu.models.adapters import make_stack
 from ecoflap_tpu.models.layers import collect_stats, mask_bias, rms_norm, tower_scan
+from ecoflap_tpu.ops.attention import mha
 
 PyTree = Any
 
@@ -171,14 +172,10 @@ def block_forward(
         rep = h_n // kv_n
         kh = jnp.repeat(kh, rep, axis=1)
         vh = jnp.repeat(vh, rep, axis=1)
-    score_dtype = jnp.float32 if x.dtype == jnp.float32 else x.dtype
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh * (dh**-0.5), kh,
-        preferred_element_type=score_dtype,
-    )
-    scores = scores + bias.astype(score_dtype)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
+    # bias None = pure causal (calibration windows): flash/chunked eligible.
+    # With a padding mask the combined bias rides in and causality is baked
+    # into it (_prepare_cache) — naive/chunked handle that path.
+    o = mha(qh, kh, vh, sm_scale=dh**-0.5, bias=bias, causal=bias is None)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, h_n * dh).astype(x.dtype)
     collect_stats(stats, "self_attn.o_proj", o, collect)
     o = jnp.dot(o, bp["attn"]["o"]["kernel"], preferred_element_type=jnp.float32).astype(x.dtype)
@@ -196,12 +193,17 @@ def block_forward(
 
 
 def _prepare_cache(cfg: LlamaConfig, attn_mask: Optional[jax.Array], seq_len: int):
-    """attn_mask None => pure causal (keeps the bias (1,1,S,S), not (B,1,S,S)
-    — matters for 2048-token calibration batches)."""
-    causal = jnp.where(
-        jnp.tril(jnp.ones((seq_len, seq_len), jnp.bool_)), 0.0, -1e9
-    )[None, None]
-    bias = causal if attn_mask is None else causal + mask_bias(attn_mask)
+    """attn_mask None => cache carries bias=None and block_forward runs
+    pure-causal attention (flash-kernel eligible; no (S,S) bias buffer at
+    all for 2048-token calibration batches). With a padding mask the causal
+    + padding bias is prebuilt here (B,1,S,S) and causality comes from it."""
+    if attn_mask is None:
+        bias = None
+    else:
+        causal = jnp.where(
+            jnp.tril(jnp.ones((seq_len, seq_len), jnp.bool_)), 0.0, -1e9
+        )[None, None]
+        bias = causal + mask_bias(attn_mask)
     cos, sin = rope_cos_sin(cfg, seq_len)
     return bias, cos, sin
 

@@ -255,6 +255,28 @@ def mezo_leaf_scores(
         for p in (loss_plans or [])
     ]
 
+    # Overlap the later stacks' loss-program compiles with the first stack's
+    # scoring: each plan's chunked loss is a distinct multi-minute remote
+    # compile through the axon tunnel, but scoring only needs plan k's
+    # program once it reaches stack k — a throwaway evaluation in a daemon
+    # thread populates the SAME jitted callable's cache in the meantime
+    # (the first-order scorer's partition warm, first_order.py, proved the
+    # tunnel handles concurrent compiles). Plan 0 is skipped (its compile is
+    # on the critical path immediately). The warm result is discarded; a
+    # race with an in-place perturbation of a donated leaf can only fail the
+    # warm eval itself, which is why the thread swallows errors.
+    if len(plan_pairs) > 1 and os.environ.get("ECOFLAP_WARM_PLANS", "1") == "1":
+        import threading
+
+        def _warm(fn, pdata):
+            try:
+                jax.block_until_ready(fn(params, pdata))
+            except Exception:
+                pass
+
+        for _, fn, d in plan_pairs[1:]:
+            threading.Thread(target=_warm, args=(fn, d), daemon=True).start()
+
     def pair_for(name: str):
         """(plan, jitted_loss, data) for this target. Plans with a ``prepare``
         hook (SuffixPlan) update their rolling state here — called BEFORE the

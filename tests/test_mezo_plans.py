@@ -99,6 +99,37 @@ def test_plan_scores_match_full_path():
         assert abs(f - s) <= 0.05 * max(abs(s), 1e-3) + 1e-4, (k, f, s)
 
 
+def test_warm_plans_leave_scores_unchanged(monkeypatch):
+    """ECOFLAP_WARM_PLANS overlaps later stacks' program compiles in daemon
+    threads (mezo.py); the throwaway warm evals must not perturb the scores
+    the main thread computes."""
+    from ecoflap_tpu.pruning.mezo import mezo_leaf_scores
+
+    cfg = blip2.tiny_config()
+    params = blip2.init_params(cfg, jax.random.PRNGKey(0))
+    batch = _batch(cfg)
+    ad = blip2.make_adapter(cfg, params)
+    picks = [t for t in ad.targets() if t.name in {
+        "visual_encoder.blocks.0.attn.qkv.weight",
+        "t5_model.encoder.block.0.layer.0.SelfAttention.q.weight",
+        "t5_model.decoder.block.1.layer.2.DenseReluDense.wo.weight",
+    }]
+    key = jax.random.PRNGKey(7)
+
+    monkeypatch.setenv("ECOFLAP_WARM_PLANS", "0")
+    cold = mezo_leaf_scores(ad.loss_fn, params, batch, 2, picks, key=key,
+                            loss_plans=ad.build_mezo_plans(params, batch),
+                            eps=0.02)
+    monkeypatch.setenv("ECOFLAP_WARM_PLANS", "1")
+    warm = mezo_leaf_scores(ad.loss_fn, params, batch, 2, picks, key=key,
+                            loss_plans=ad.build_mezo_plans(params, batch),
+                            eps=0.02)
+    for k in cold:
+        c, w = float(cold[k]), float(warm[k])
+        # only the perturb/restore ulp drift between the two invocations
+        assert abs(c - w) <= 0.02 * max(abs(c), 1e-3) + 1e-5, (k, c, w)
+
+
 def test_plan_scores_match_per_batch_mode():
     """Suffix plans under the reference-parity per_batch sampling."""
     from ecoflap_tpu.pruning.mezo import mezo_leaf_scores

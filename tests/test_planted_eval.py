@@ -103,6 +103,36 @@ def test_planted_vqa_scores_exactly_50(planted_ckpt):
     assert metrics["agg_metrics"] == pytest.approx(50.0, abs=1e-9)
 
 
+def test_planted_vqa_sharded_dp_mesh(planted_ckpt):
+    """--mesh dp on the 8-virtual-device CPU mesh: the batch is sharded
+    over dp, the jitted beam-5 generate partitions along it, and the metric
+    is the same closed-form 50.0 as the unsharded run."""
+    root = planted_ckpt["root"]
+    ann = [
+        {"image": f"img{i}.png", "question": "is it day?",
+         "answers": [VQA_ANSWER] * 10, "question_id": i}
+        for i in range(4)
+    ] + [
+        {"image": f"img{i}.png", "question": "is it night?",
+         "answers": ["yes"] * 10, "question_id": i}
+        for i in range(4, 8)
+    ]
+    ann_path = str(root / "vqa_ann_dp.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+
+    metrics = run_cli([
+        "--model", "blip2_t5", "--task", "vqa", "--platform", "cpu",
+        "--checkpoint", planted_ckpt["ckpts"]["vqa"],
+        "--tokenizer_path", tiny_tokenizer_path(),
+        "--vocab_size", str(planted_ckpt["vocab"]),
+        "--ann", ann_path, "--vis_root", planted_ckpt["vis_root"],
+        "--batch_size", "8", "--num_beams", "5", "--mesh", "dp",
+        "--output_dir", str(root / "out_dp"),
+    ])
+    assert metrics["agg_metrics"] == pytest.approx(50.0, abs=1e-9)
+
+
 def test_planted_captioning_scores_exactly_5p5(planted_ckpt):
     root = planted_ckpt["root"]
     ann = [
