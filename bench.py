@@ -231,6 +231,10 @@ def multi_method_run(methods) -> None:
             results[m] = {"error": res.returncode}
             continue
         results[m] = json.loads(res.stdout.strip().splitlines()[-1])
+        # Print each preset's line as it lands: a driver that parses the
+        # LAST JSON line and enforces a wall limit still captures the
+        # completed presets if a later one is cut off.
+        print(json.dumps(results[m]), flush=True)
     head = results[methods[0]]
     out = dict(head)
     out["methods"] = {
@@ -243,6 +247,16 @@ def multi_method_run(methods) -> None:
 
 def main() -> None:
     methods_env = os.environ.get("ECOFLAP_BENCH_METHODS")
+    if (methods_env is None
+            and "ECOFLAP_BENCH_METHOD" not in os.environ
+            and os.environ.get("ECOFLAP_BENCH_PRESET", "xl") == "xl"
+            and not os.environ.get("ECOFLAP_BENCH_MESH")
+            and os.environ.get("ECOFLAP_SPARSEGPT_ISOLATE") != "1"):
+        # Default XL capture = headline zeroth AND the first-order preset, so
+        # the driver-recorded JSON carries both reference comparisons
+        # (6114.9 s and 450.3 s). ECOFLAP_BENCH_METHODS="" restores the
+        # single-method zeroth run; ECOFLAP_BENCH_METHOD picks one preset.
+        methods_env = "zeroth,first"
     if methods_env:
         multi_method_run([m.strip() for m in methods_env.split(",") if m.strip()])
         return

@@ -195,7 +195,7 @@ def _synthetic_eval(args) -> Dict[str, Any]:
             return np.asarray(logits[:, 0])
 
         abcd = [tok._word_id(c) for c in "ABCD"]
-        token_len = lambda s: len(tok([s], max_length=10_000)[1][0].nonzero()[0])  # noqa: E731
+        token_len = lambda s: len(tok([s], max_length=10_000, pad=False)[0][0])  # noqa: E731
         dev = [[f"q{i}", "w", "x", "y", "z", "B"] for i in range(5)]
         test = [[f"t{i}", "w", "x", "y", "z",
                  "ABCD"[rng.integers(0, 4)]] for i in range(8)]

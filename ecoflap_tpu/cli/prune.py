@@ -257,11 +257,59 @@ def _configs(args):
         if args.ckpt:
             params = ck.convert_llama(ck.load_torch_checkpoint(args.ckpt), cfg,
                                       dtype)
+        elif args.host_stream and not args.is_global and not (
+                args.sparsity_ratio_granularity and args.sparsity_dict is None):
+            # A host-streamed run with NO in-process coarse scoring (fine
+            # stage only — the dict came via --sparsity_dict, e.g. from the
+            # --per_stack_process coarse child — or a uniform-ratio run)
+            # must NOT init on device: the jitted init of a 7B tree charges
+            # ~13 GB of outputs (plus temps) to the axon cumulative-
+            # allocation budget only for the streaming loop to pull it all
+            # straight back to host. Init on the CPU backend and device-put
+            # just the non-stack leaves the prepare programs read
+            # (embed/final-norm/lm_head, ~0.5 GB at 7B). Scoring runs
+            # (coarse stage in-process) keep the device init — MeZO needs
+            # device-resident blocks.
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                params = jax.jit(
+                    lambda k: llama.init_params(cfg, k, dtype=dtype))(key)
+            dev = jax.devices()[0]
+            params = {
+                **params,
+                "embed_tokens": jax.device_put(params["embed_tokens"], dev),
+                "norm": jax.device_put(params["norm"], dev),
+                "lm_head": jax.device_put(params["lm_head"], dev),
+            }
         else:
             params = _jit_init(llama.init_params, cfg, key, dtype)
-        rng = np.random.default_rng(args.seed)
         seqlen = args.seqlen if scale in ("full", "small") else 32
-        stream = rng.integers(2, cfg.vocab_size, size=(args.num_samples * seqlen + seqlen,))
+        if args.calib != "synthetic":
+            # Real-text C4-style calibration (LLaMA/main.py:27 --nsamples 128
+            # C4; wanda lib/data.py get_c4 takes random seqlen windows of
+            # tokenized documents): jsonl {"text": ...} lines -> tokenize
+            # each doc -> one EOS-joined stream -> random windows.
+            from ecoflap_tpu.core.registry import registry
+            from ecoflap_tpu.data import datasets as _datasets  # noqa: F401
+
+            tok = cal2.load_t5_tokenizer(vocab_size=cfg.vocab_size,
+                                         path=args.tokenizer_path)
+            ds = registry.get("builder", "c4")({"jsonl_path": args.calib})
+            pieces = []
+            for t in ds.texts:
+                ids, _ = tok([t], max_length=10 ** 9, add_eos=True, pad=False)
+                pieces.append(np.asarray(ids[0], np.int32))
+            stream = np.concatenate(pieces)
+            need = args.num_samples * seqlen + seqlen
+            if stream.shape[0] < need:
+                raise SystemExit(
+                    f"--calib {args.calib}: {stream.shape[0]} tokens after "
+                    f"tokenization, need >= {need} for {args.num_samples} "
+                    f"windows of {seqlen}")
+        else:
+            rng = np.random.default_rng(args.seed)
+            stream = rng.integers(
+                2, cfg.vocab_size, size=(args.num_samples * seqlen + seqlen,))
         batch = cal2.build_lm_calibration_batch(
             np.asarray(stream), args.num_samples, seqlen, args.seed)
         adapter = llama.make_adapter(cfg, params)
@@ -400,6 +448,9 @@ def main(argv=None) -> Dict[str, Any]:
         consume_params=args.consume_params,
         hessian_bf16=args.hessian_bf16,
         host_stream=args.host_stream,
+        # crash insurance: the coarse dict lands on disk before the fine
+        # stage starts (re-enter with --sparsity_dict to skip re-scoring)
+        on_coarse_dict=runner.save_sparsity_dict,
     )
     if args.is_global:
         pruner_cfg = dict(

@@ -52,21 +52,26 @@ class HashTokenizer:
         h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
         return 2 + h % (self.vocab_size - 2)
 
-    def encode(self, text: str, max_length: int, add_eos: bool = True):
+    def encode(self, text: str, max_length: int, add_eos: bool = True,
+               pad: bool = True):
         ids = [self._word_id(w) for w in text.split()][: max_length - int(add_eos)]
         if add_eos:
             ids.append(self.eos_token_id)
         mask = [1] * len(ids)
-        pad = max_length - len(ids)
-        return ids + [self.pad_token_id] * pad, mask + [0] * pad
+        if not pad:  # stream builders: truncate-only, no O(max_length) fill
+            return ids, mask
+        n = max_length - len(ids)
+        return ids + [self.pad_token_id] * n, mask + [0] * n
 
     def __call__(self, texts: Sequence[str], max_length: int = 32,
-                 add_eos: bool = True):
+                 add_eos: bool = True, pad: bool = True):
         out_ids, out_mask = [], []
         for t in texts:
-            ids, mask = self.encode(t, max_length, add_eos)
+            ids, mask = self.encode(t, max_length, add_eos, pad=pad)
             out_ids.append(ids)
             out_mask.append(mask)
+        if not pad:
+            return out_ids, out_mask
         return (np.asarray(out_ids, np.int32), np.asarray(out_mask, np.int32))
 
     def decode(self, ids: Sequence[int]) -> str:
@@ -95,21 +100,26 @@ class FileTokenizer:
         self.eos_token_id = 1 if eos is None else eos
         self.vocab_size = self._tok.get_vocab_size()
 
-    def encode(self, text: str, max_length: int, add_eos: bool = True):
+    def encode(self, text: str, max_length: int, add_eos: bool = True,
+               pad: bool = True):
         ids = self._tok.encode(text).ids[: max_length - int(add_eos)]
         if add_eos:
             ids.append(self.eos_token_id)
         mask = [1] * len(ids)
-        pad = max_length - len(ids)
-        return ids + [self.pad_token_id] * pad, mask + [0] * pad
+        if not pad:  # stream builders: truncate-only, no O(max_length) fill
+            return ids, mask
+        n = max_length - len(ids)
+        return ids + [self.pad_token_id] * n, mask + [0] * n
 
     def __call__(self, texts: Sequence[str], max_length: int = 32,
-                 add_eos: bool = True):
+                 add_eos: bool = True, pad: bool = True):
         out_ids, out_mask = [], []
         for t in texts:
-            ids, mask = self.encode(t, max_length, add_eos)
+            ids, mask = self.encode(t, max_length, add_eos, pad=pad)
             out_ids.append(ids)
             out_mask.append(mask)
+        if not pad:
+            return out_ids, out_mask
         return (np.asarray(out_ids, np.int32), np.asarray(out_mask, np.int32))
 
     def decode(self, ids: Sequence[int]) -> str:

@@ -220,7 +220,8 @@ class WikiTextDataset:
             self.text = f.read()
 
     def token_stream(self, tokenizer) -> np.ndarray:
-        ids, _ = tokenizer([self.text], max_length=10**9, add_eos=False)
+        ids, _ = tokenizer([self.text], max_length=10**9, add_eos=False,
+                           pad=False)
         return np.asarray(ids[0], np.int32)
 
 

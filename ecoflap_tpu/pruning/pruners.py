@@ -87,6 +87,7 @@ class TwoStagePruner:
         host_stream: bool = False,
         hessian_bf16: bool = False,
         verbose: bool = True,
+        on_coarse_dict: Optional[Callable[[Mapping[str, float]], Any]] = None,
         **kwargs: Any,
     ) -> None:
         self.adapter = adapter
@@ -112,6 +113,7 @@ class TwoStagePruner:
         self.noise_mode = noise_mode
         self.key = key
         self.verbose = verbose
+        self.on_coarse_dict = on_coarse_dict
 
     # -- coarse stage ------------------------------------------------------
     def _spec_for_stack(self, stack_name: str) -> Optional[str]:
@@ -270,6 +272,12 @@ class TwoStagePruner:
                     self._coarse_marks[1] - self._coarse_marks[0], 2)
                 self.phase_times["coarse_steady_s"] = round(
                     tc - self._coarse_marks[1], 2)
+            if self.on_coarse_dict is not None:
+                # Persist the coarse dict BEFORE the fine stage: a 7B coarse
+                # stage is ~26 min of scoring, and a fine-stage failure
+                # (e.g. the axon cumulative-allocation budget) must not lose
+                # it — the saved YAML re-enters via --sparsity_dict.
+                self.on_coarse_dict(global_dict)
 
         if self.host_stream:
             # Pull every stack's stacked leaves to HOST and drop the device

@@ -5,6 +5,8 @@ The flash (Pallas) path is TPU-only and exercised by the device drive
 (tools/verify_drive.py) — here we lock the XLA-portable paths that every
 backend shares."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,6 +97,27 @@ def test_llama_causal_cache_matches_explicit_mask():
     logits_masked = llama.forward(cfg, params, ids, jnp.ones_like(ids))
     np.testing.assert_allclose(np.asarray(logits_causal),
                                np.asarray(logits_masked), atol=1e-5)
+
+
+@pytest.mark.skipif(os.environ.get("ECOFLAP_TPU_TESTS") != "1",
+                    reason="Pallas flash kernel needs a real TPU")
+def test_flash_matches_naive_tpu():
+    """Flash (tuned BlockSizes, fwd + bwd) vs naive at the LLaMA
+    calibration shape; bf16-level agreement."""
+    q, k, v = _qkv(jax.random.PRNGKey(0), 2, 8, 2048, 2048, 128, jnp.bfloat16)
+    ref = mha(q, k, v, sm_scale=128**-0.5, causal=True, mode="naive")
+    out = mha(q, k, v, sm_scale=128**-0.5, causal=True, mode="flash")
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.05, rtol=0.05)
+    gf = jax.grad(lambda q: jnp.sum(
+        mha(q, k, v, sm_scale=128**-0.5, causal=True, mode="flash")
+        .astype(jnp.float32)))(q)
+    gn = jax.grad(lambda q: jnp.sum(
+        mha(q, k, v, sm_scale=128**-0.5, causal=True, mode="naive")
+        .astype(jnp.float32)))(q)
+    np.testing.assert_allclose(np.asarray(gf, np.float32),
+                               np.asarray(gn, np.float32), atol=0.1, rtol=0.1)
 
 
 def test_llama_forward_chunked_env(monkeypatch):

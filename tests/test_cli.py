@@ -89,3 +89,67 @@ def test_cli_sparsity_report_is_global_not_last_block(tmp_path):
     expected = sum(ratios[:stack.num_blocks]) / stack.num_blocks
     assert abs(result["prunable_sparsity"] - expected) < 0.02, result
     assert abs(result["prunable_sparsity"] - 0.8) > 0.1  # not last-block
+
+
+def test_cli_llama_real_text_calibration(tmp_path):
+    """The llama --calib branch: jsonl {"text": ...} docs are tokenized,
+    EOS-joined into one stream, and windowed into calibration samples
+    (reference LLaMA/main.py:27 C4 --nsamples semantics). Without a
+    --tokenizer_path the HashTokenizer fallback keeps ids in the model's
+    vocab range (and warns loudly)."""
+    import json as _json
+
+    from ecoflap_tpu.cli.prune import main as prune_main
+
+    calib = tmp_path / "docs.jsonl"
+    with open(calib, "w") as f:
+        for i in range(64):
+            f.write(_json.dumps(
+                {"text": f"document {i} about cats and houses " * 8}) + "\n")
+
+    result = prune_main([
+        "--model", "llama", "--model_scale", "tiny",
+        "--pruning_method", "llama_wanda_pruner",
+        "--prune_spec", "2-0.5-1.0-1.0",
+        "--calib", str(calib),
+        "--num_samples", "8", "--batch_size", "4",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    assert 0.40 < result["prunable_sparsity"] < 0.60
+
+    # too few tokens for the requested windows -> clear error, not a crash
+    short = tmp_path / "short.jsonl"
+    short.write_text(_json.dumps({"text": "tiny"}) + "\n")
+    with pytest.raises(SystemExit, match="need >="):
+        prune_main([
+            "--model", "llama", "--model_scale", "tiny",
+            "--pruning_method", "llama_wanda_pruner",
+            "--prune_spec", "2-0.5-1.0-1.0",
+            "--calib", str(short),
+            "--num_samples", "8", "--batch_size", "4",
+            "--output_dir", str(tmp_path / "out2"),
+        ])
+
+
+def test_cli_llama_host_stream_orchestrated(tmp_path):
+    """--per_stack_process + --host_stream: the coarse child scores with
+    device params, the fine child CPU-inits (host-resident stacks, only
+    embed/norm/head on device) and streams blocks — the 7B-on-one-chip
+    recipe, exercised end-to-end at tiny scale."""
+    from ecoflap_tpu.cli.prune import main as prune_main
+
+    result = prune_main([
+        "--model", "llama", "--model_scale", "tiny",
+        "--pruning_method", "llama_wanda_pruner",
+        "--prune_spec", "2-0.5-1.0-1.0",
+        "--sparsity_ratio_granularity", "block",
+        "--score_method", "MEZO-GradOnly_sum",
+        "--num_data_first_stage", "4",
+        "--num_samples", "8", "--batch_size", "4",
+        "--host_stream", "--per_stack_process",
+        "--platform", "cpu",
+        "--output_dir", str(tmp_path),
+    ])
+    assert len(result["stages"]) == 2  # coarse child + one fine stage
+    assert 0.40 < result["prunable_sparsity"] < 0.60
+    assert result["checkpoint"]

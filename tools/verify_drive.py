@@ -91,7 +91,23 @@ except AssertionError:
     pass
 results["probes"] = "ok"
 
-# 5. graft entry + multichip dryrun (dryrun only meaningful with >1 device)
+# 5. flash-attention kernel parity (TPU only — Pallas path)
+if jax.default_backend() == "tpu":
+    from ecoflap_tpu.ops.attention import mha
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    qh = jax.random.normal(ks[0], (1, 4, 2048, 128), jnp.bfloat16)
+    kh = jax.random.normal(ks[1], (1, 4, 2048, 128), jnp.bfloat16)
+    vh = jax.random.normal(ks[2], (1, 4, 2048, 128), jnp.bfloat16)
+    o_f = np.asarray(mha(qh, kh, vh, sm_scale=128**-0.5, causal=True,
+                         mode="flash"), np.float32)
+    o_n = np.asarray(mha(qh, kh, vh, sm_scale=128**-0.5, causal=True,
+                         mode="naive"), np.float32)
+    flash_err = float(np.abs(o_f - o_n).max())
+    assert flash_err < 0.05, flash_err
+    results["flash_attn_max_err"] = round(flash_err, 5)
+
+# 6. graft entry + multichip dryrun (dryrun only meaningful with >1 device)
 import __graft_entry__ as g
 
 fn, (p, b) = g.entry()
