@@ -272,8 +272,8 @@ def _configs(args):
             # device-resident blocks.
             cpu = jax.local_devices(backend="cpu")[0]
             with jax.default_device(cpu):
-                params = jax.jit(
-                    lambda k: llama.init_params(cfg, k, dtype=dtype))(key)
+                params = llama.init_params(cfg, key, dtype=dtype,
+                                           per_leaf=True)
             dev = jax.devices()[0]
             params = {
                 **params,

@@ -86,13 +86,25 @@ def tiny_config(**kw) -> LlamaConfig:
     return LlamaConfig(**defaults)
 
 
-def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> PyTree:
+def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32,
+                per_leaf: bool = False) -> PyTree:
+    """Random init. ``per_leaf=True`` generates each leaf in its own jitted
+    program: identical values (same keys, same ops), but temporaries (f32
+    normals + threefry bits) are freed between leaves — one whole-tree jit
+    at 7B holds ~70 GB of host temporaries on the CPU backend, per-leaf
+    peaks near the largest leaf. Use it for host-resident big-model init
+    (cli/prune.py --host_stream fine stage)."""
     ks = jax.random.split(key, 9)
     d, L, F = cfg.d_model, cfg.num_layers, cfg.d_ff
     kv_dim = cfg.num_kv_heads * cfg.head_dim
 
-    def f(k, shape, std=0.02):
+    def gen(k, shape, std):
         return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    def f(k, shape, std=0.02):
+        if per_leaf:
+            return jax.jit(gen, static_argnums=(1, 2))(k, shape, std)
+        return gen(k, shape, std)
 
     return {
         "embed_tokens": f(ks[0], (cfg.vocab_size, d)),

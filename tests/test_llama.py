@@ -16,6 +16,19 @@ def model():
     return cfg, params
 
 
+def test_per_leaf_init_matches_whole_tree(model):
+    """per_leaf=True (the bounded-temporaries host init for --host_stream 7B
+    runs) must produce the same params: same keys, same ops, only the jit
+    granularity differs (XLA's fused normal*std rounds differently from the
+    eager path at the last ulp — everything agrees to ~1e-7 rel)."""
+    cfg, params = model
+    per_leaf = llama.init_params(cfg, jax.random.PRNGKey(0), per_leaf=True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8),
+        params, per_leaf)
+
+
 def batch(cfg, n=4, s=10, seed=0):
     rng = np.random.default_rng(seed)
     return {
