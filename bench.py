@@ -235,7 +235,11 @@ def multi_method_run(methods) -> None:
         # LAST JSON line and enforces a wall limit still captures the
         # completed presets if a later one is cut off.
         print(json.dumps(results[m]), flush=True)
-    head = results[methods[0]]
+    # Headline = the FIRST method that actually succeeded: the final JSON
+    # line must always carry metric/value/unit for the driver even if an
+    # earlier preset died (its rc is still recorded under "methods").
+    head = next((results[m] for m in methods if "error" not in results[m]),
+                results[methods[0]])
     out = dict(head)
     out["methods"] = {
         m: {k: r.get(k) for k in ("value", "vs_baseline", "phases", "error")

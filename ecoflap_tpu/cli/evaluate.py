@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import time
 from typing import Any, Dict
 
 import jax
@@ -36,6 +37,9 @@ def build_parser():
     p.add_argument("--vis_root", default="")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--eval_batches", type=int, default=2,
+                   help="synthetic eval: number of batches (>=3 separates "
+                        "compile from steady-state throughput in the log)")
     p.add_argument("--num_beams", type=int, default=5)
     p.add_argument("--max_new_tokens", type=int, default=10)
     p.add_argument("--length_penalty", type=float, default=-1.0)
@@ -133,24 +137,36 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         mesh = _eval_mesh(args)
         params = _replicate(mesh, params)
 
+        batch_walls = []
+
         def predict_fn(batch):
+            t0 = time.time()
             ids, mask = tok(batch["text_input"], max_length=8)
             arrs = _shard_arrays(mesh, {
                 "image": jnp.asarray(batch["image"]),
                 "ids": jnp.asarray(ids), "mask": jnp.asarray(mask)})
             out = blip2.generate(cfg, params, arrs["image"], arrs["ids"],
                                  arrs["mask"], gen)
-            return [tok.decode(list(map(int, row))) for row in np.asarray(out)]
+            texts = [tok.decode(list(map(int, row))) for row in np.asarray(out)]
+            batch_walls.append(round(time.time() - t0, 2))
+            return texts
 
-        n = 2 * args.batch_size
         img = cfg.vit.img_size
         batches = [{
             "image": rng.normal(size=(args.batch_size, img, img, 3)).astype(np.float32),
             "text_input": [f"question {i}" for i in range(args.batch_size)],
             "gt_answers": [["yes"] * 10 for _ in range(args.batch_size)],
-        } for _ in range(n // args.batch_size)]
+        } for _ in range(args.eval_batches)]
         task = VQATask(predict_fn)
-        return runner.evaluate(task, batches)
+        metrics = runner.evaluate(task, batches)
+        # compile-vs-steady attribution: batch 0 carries the jit compile,
+        # the rest are steady-state decode throughput
+        metrics["batch_walls_s"] = batch_walls
+        if len(batch_walls) >= 3:
+            steady = batch_walls[1:]
+            metrics["steady_qps"] = round(
+                args.batch_size * len(steady) / sum(steady), 3)
+        return metrics
 
     if args.model in ("clip", "eva_clip") and args.task == "classification":
         from ecoflap_tpu.models import clip as clip_mod

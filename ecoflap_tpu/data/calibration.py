@@ -35,26 +35,19 @@ def split_prefix_suffix(text: str, rng: np.random.Generator):
     return text[:split], text[split:]
 
 
-class HashTokenizer:
-    """Deterministic whitespace+hash tokenizer with an HF-like interface.
+class _TokenizerBase:
+    """Shared truncate/eos/pad/mask/batch semantics; subclasses provide the
+    raw-id primitive ``_raw_ids(text)`` plus pad/eos ids."""
 
-    ids: 0=pad, 1=eos, 2..vocab-1 hashed word ids. Not a real BPE — a
-    stand-in so every pipeline runs without downloaded vocab files.
-    """
+    pad_token_id: int
+    eos_token_id: int
 
-    def __init__(self, vocab_size: int = 32128, eos_token_id: int = 1,
-                 pad_token_id: int = 0):
-        self.vocab_size = vocab_size
-        self.eos_token_id = eos_token_id
-        self.pad_token_id = pad_token_id
-
-    def _word_id(self, w: str) -> int:
-        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
-        return 2 + h % (self.vocab_size - 2)
+    def _raw_ids(self, text: str):
+        raise NotImplementedError
 
     def encode(self, text: str, max_length: int, add_eos: bool = True,
                pad: bool = True):
-        ids = [self._word_id(w) for w in text.split()][: max_length - int(add_eos)]
+        ids = self._raw_ids(text)[: max_length - int(add_eos)]
         if add_eos:
             ids.append(self.eos_token_id)
         mask = [1] * len(ids)
@@ -74,12 +67,33 @@ class HashTokenizer:
             return out_ids, out_mask
         return (np.asarray(out_ids, np.int32), np.asarray(out_mask, np.int32))
 
+
+class HashTokenizer(_TokenizerBase):
+    """Deterministic whitespace+hash tokenizer with an HF-like interface.
+
+    ids: 0=pad, 1=eos, 2..vocab-1 hashed word ids. Not a real BPE — a
+    stand-in so every pipeline runs without downloaded vocab files.
+    """
+
+    def __init__(self, vocab_size: int = 32128, eos_token_id: int = 1,
+                 pad_token_id: int = 0):
+        self.vocab_size = vocab_size
+        self.eos_token_id = eos_token_id
+        self.pad_token_id = pad_token_id
+
+    def _word_id(self, w: str) -> int:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        return 2 + h % (self.vocab_size - 2)
+
+    def _raw_ids(self, text: str):
+        return [self._word_id(w) for w in text.split()]
+
     def decode(self, ids: Sequence[int]) -> str:
         return " ".join(f"<{i}>" for i in ids
                         if i not in (self.pad_token_id, self.eos_token_id))
 
 
-class FileTokenizer:
+class FileTokenizer(_TokenizerBase):
     """Real subword tokenizer loaded from a local HF ``tokenizer.json``
     (sentencepiece-style Unigram/BPE serialized by the ``tokenizers``
     library — the same serialization HF hub checkpoints carry).
@@ -100,27 +114,8 @@ class FileTokenizer:
         self.eos_token_id = 1 if eos is None else eos
         self.vocab_size = self._tok.get_vocab_size()
 
-    def encode(self, text: str, max_length: int, add_eos: bool = True,
-               pad: bool = True):
-        ids = self._tok.encode(text).ids[: max_length - int(add_eos)]
-        if add_eos:
-            ids.append(self.eos_token_id)
-        mask = [1] * len(ids)
-        if not pad:  # stream builders: truncate-only, no O(max_length) fill
-            return ids, mask
-        n = max_length - len(ids)
-        return ids + [self.pad_token_id] * n, mask + [0] * n
-
-    def __call__(self, texts: Sequence[str], max_length: int = 32,
-                 add_eos: bool = True, pad: bool = True):
-        out_ids, out_mask = [], []
-        for t in texts:
-            ids, mask = self.encode(t, max_length, add_eos, pad=pad)
-            out_ids.append(ids)
-            out_mask.append(mask)
-        if not pad:
-            return out_ids, out_mask
-        return (np.asarray(out_ids, np.int32), np.asarray(out_mask, np.int32))
+    def _raw_ids(self, text: str):
+        return self._tok.encode(text).ids
 
     def decode(self, ids: Sequence[int]) -> str:
         keep = [int(i) for i in ids

@@ -160,29 +160,37 @@ def _chunked(qh, kh, vh, sm_scale, bias, causal, kv_chunk):
     return (acc / l[..., None]).astype(qh.dtype)
 
 
-def _flash(qh, kh, vh, sm_scale, causal):
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
-        flash_attention,
-    )
+def flash_block_sizes(sq: int, sk: int):
+    """Tuned on TPU v5e at (4, 32, 2048, 128): 1024-wide q/k blocks run the
+    kernel in 2.9 ms vs 12.7 ms with the library's 128-default blocks and
+    7.2 ms for the XLA naive path (the MXU wants ≥512-row tiles; 2048
+    blocks exceed VMEM and fail compile). block_b stays 1 — batch blocking
+    gained <5% and breaks at small batches. Blocks must DIVIDE the
+    sequence (the kernel's ``_verify_block`` asserts it), so pick the
+    largest tuned size that does — eligibility guarantees ``s % 512 == 0``,
+    hence 512 always divides (e.g. seqlen 1536/2560 get 512-wide blocks,
+    2048/4096 get 1024)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    # Tuned on TPU v5e at (4, 32, 2048, 128): 1024-wide q/k blocks run the
-    # kernel in 2.9 ms vs 12.7 ms with the library's 128-default blocks and
-    # 7.2 ms for the XLA naive path (the MXU wants ≥512-row tiles; 2048
-    # blocks exceed VMEM and fail compile). block_b stays 1 — batch blocking
-    # gained <5% and breaks at small batches.
-    sq, sk = qh.shape[2], kh.shape[2]
-    blk = lambda s: max(128, min(s, 1024))
-    bwd = lambda s: max(128, min(s, 512))  # backward holds dQ/dK/dV + residuals
-    block_sizes = BlockSizes(
+    def _block(s, cap):
+        return max(b for b in (1024, 512, 256, 128) if b <= cap and s % b == 0)
+
+    blk = lambda s: _block(s, 1024)
+    bwd = lambda s: _block(s, 512)  # backward holds dQ/dK/dV + residuals
+    return BlockSizes(
         block_q=blk(sq), block_k_major=blk(sk), block_k=blk(sk), block_b=1,
         block_q_major_dkv=bwd(sq), block_k_major_dkv=bwd(sk),
         block_k_dkv=bwd(sk), block_q_dkv=bwd(sq),
         block_k_major_dq=bwd(sk), block_k_dq=bwd(sk), block_q_dq=bwd(sq),
     )
+
+
+def _flash(qh, kh, vh, sm_scale, causal):
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
     return flash_attention(
         qh, kh, vh, causal=causal, sm_scale=float(sm_scale),
-        block_sizes=block_sizes,
+        block_sizes=flash_block_sizes(qh.shape[2], kh.shape[2]),
     ).astype(qh.dtype)
 
 

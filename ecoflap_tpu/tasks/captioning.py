@@ -117,7 +117,8 @@ def bleu4(
 ) -> float:
     """Corpus BLEU-4, algorithm-exact to pycocoevalcap's ``bleu_scorer.py``
     (option='closest'): cumulative-product precisions with the tiny/small
-    fudge terms, closest-reference length with first-wins tie-breaking, and
+    fudge terms, closest-reference length (ties broken toward the SHORTER
+    reference — the tuple-min ``min((abs(l-testlen), l))`` form), and
     ratio-form brevity penalty."""
     tiny, small = 1e-15, 1e-9  # pycocoevalcap's exact fudge constants
     p_num = [0] * 4
@@ -127,12 +128,10 @@ def bleu4(
         c = tokenize(cand)
         rs = [tokenize(r) for r in refs]
         cand_len += len(c)
-        # 'closest' reflen: strict < comparison -> first ref wins ties
-        closest = None
-        for r in rs:
-            if closest is None or abs(len(r) - len(c)) < abs(closest - len(c)):
-                closest = len(r)
-        ref_len += closest or 0
+        # 'closest' reflen, pycocoevalcap bleu_scorer.py: tuple-min over
+        # (|l - testlen|, l) — equal distances break toward the SHORTER ref
+        if rs:
+            ref_len += min((abs(len(r) - len(c)), len(r)) for r in rs)[1]
         for n in range(4):
             c_ngrams = _ngrams(c, n + 1)
             max_ref = Counter()

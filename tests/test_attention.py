@@ -120,6 +120,25 @@ def test_flash_matches_naive_tpu():
                                np.asarray(gn, np.float32), atol=0.1, rtol=0.1)
 
 
+def test_flash_block_sizes_divide_sequence():
+    """Every flash-eligible seqlen (multiples of 512) must get block sizes
+    that divide it — the Pallas kernel's _verify_block rejects non-divisors
+    (1536 with a 1024 block crashed before this was derived per-shape)."""
+    from ecoflap_tpu.ops.attention import flash_block_sizes
+
+    for s in (512, 1024, 1536, 2048, 2560, 3584, 4096):
+        bs = flash_block_sizes(s, s)
+        for name in ("block_q", "block_k_major", "block_k",
+                     "block_q_major_dkv", "block_k_major_dkv", "block_k_dkv",
+                     "block_q_dkv", "block_k_major_dq", "block_k_dq",
+                     "block_q_dq"):
+            b = getattr(bs, name)
+            assert s % b == 0, (s, name, b)
+            assert b >= 128
+    assert flash_block_sizes(2048, 2048).block_q == 1024  # tuned fast path
+    assert flash_block_sizes(1536, 1536).block_q == 512
+
+
 def test_llama_forward_chunked_env(monkeypatch):
     monkeypatch.setenv("ECOFLAP_ATTN", "chunked")
     cfg = llama.tiny_config()

@@ -177,6 +177,19 @@ def test_bleu4_closed_form_identical():
     assert got == pytest.approx(1.0, abs=1e-7)
 
 
+def test_bleu4_reflen_tie_breaks_shorter():
+    """5-token candidate, refs of length 6 and 4 (equidistant): pycocoevalcap
+    picks reflen 4 (tuple-min), so ratio > 1 and brevity penalty is 1.0 —
+    first-ref-wins would pick 6 and deflate BP to exp(1-6/5)."""
+    cand = ["a b c d e"]
+    refs = [["a b c d e f", "a b c d"]]
+    got = captioning.bleu4(cand, refs)
+    # max-ref n-gram counts pool BOTH refs, so the 6-token ref covers every
+    # candidate n-gram: all precisions are 1 and BLEU == BP == 1.0.
+    assert got == pytest.approx(1.0, abs=1e-6)
+    assert got == pytest.approx(_oracle_bleu(cand, refs), rel=1e-10)
+
+
 def _oracle_bleu(cands, refs_list, n=4):
     """Literal transcription of pycocoevalcap BleuScorer.compute_score
     (option='closest'), per-segment accumulation."""
@@ -186,11 +199,11 @@ def _oracle_bleu(cands, refs_list, n=4):
     for cand, refs in zip(cands, refs_list):
         c = captioning.tokenize(cand)
         testlen = len(c)
-        reflen = None
-        for r in refs:
-            rl = len(captioning.tokenize(r))
-            if reflen is None or abs(rl - testlen) < abs(reflen - testlen):
-                reflen = rl
+        # pycocoevalcap cook_test: reflen = min((abs(l-testlen), l))[1] —
+        # the tuple min breaks distance ties toward the SHORTER reference
+        reflen = min(
+            (abs(len(captioning.tokenize(r)) - testlen),
+             len(captioning.tokenize(r))) for r in refs)[1]
         totalcomps["testlen"] += testlen
         totalcomps["reflen"] += reflen
         for k in range(1, n + 1):
