@@ -256,11 +256,12 @@ def main() -> None:
             and os.environ.get("ECOFLAP_BENCH_PRESET", "xl") == "xl"
             and not os.environ.get("ECOFLAP_BENCH_MESH")
             and os.environ.get("ECOFLAP_SPARSEGPT_ISOLATE") != "1"):
-        # Default XL capture = headline zeroth AND the first-order preset, so
-        # the driver-recorded JSON carries both reference comparisons
-        # (6114.9 s and 450.3 s). ECOFLAP_BENCH_METHODS="" restores the
+        # Default XL capture = ALL FOUR method presets in one JSON (headline
+        # zeroth first, so a wall-limit cutoff still records it; merged final
+        # line keeps zeroth as headline). Reference walls: 6114.9 / 450.3 /
+        # 802.6 / 240.2 s. ECOFLAP_BENCH_METHODS="" restores the
         # single-method zeroth run; ECOFLAP_BENCH_METHOD picks one preset.
-        methods_env = "zeroth,first"
+        methods_env = "zeroth,first,sparsegpt,wanda"
     if methods_env:
         multi_method_run([m.strip() for m in methods_env.split(",") if m.strip()])
         return

@@ -181,9 +181,12 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         mesh = _eval_mesh(args)
         params = _replicate(mesh, params)
 
+        jit_predict = jax.jit(
+            lambda p, im, cl: clip_mod.predict(cfg, p, im, cl))
+
         def predict_fn(batch):
             arrs = _shard_arrays(mesh, {"image": jnp.asarray(batch["image"])})
-            return clip_mod.predict(cfg, params, arrs["image"], classifier)
+            return jit_predict(params, arrs["image"], classifier)
 
         img = (cfg.eva_visual.img_size if cfg.eva_visual else cfg.visual.img_size)
         batches = [{
@@ -202,13 +205,17 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         params = _init_params(t5_mod.init_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.vocab_size)
 
+        @jax.jit
+        def _first_logits(p, ids, mask, dec_in):
+            enc = t5_mod.encode(cfg, p, ids, mask)
+            return t5_mod.decode(cfg, p, enc, mask, dec_in)[:, 0]
+
         def first_token_logits(prompts):
             ids, mask = tok(prompts, max_length=64)
-            enc = t5_mod.encode(cfg, params, jnp.asarray(ids), jnp.asarray(mask))
             dec_in = jnp.full((len(prompts), 1), cfg.decoder_start_token_id,
                               jnp.int32)
-            logits = t5_mod.decode(cfg, params, enc, jnp.asarray(mask), dec_in)
-            return np.asarray(logits[:, 0])
+            return np.asarray(_first_logits(params, jnp.asarray(ids),
+                                            jnp.asarray(mask), dec_in))
 
         abcd = [tok._word_id(c) for c in "ABCD"]
         token_len = lambda s: len(tok([s], max_length=10_000, pad=False)[0][0])  # noqa: E731
@@ -321,10 +328,14 @@ def _real_eval(args) -> Dict[str, Any]:
             cfg, params, jnp.asarray(ids), len(ds.classnames))
         mesh = _eval_mesh(args)
         params = _replicate(mesh, params)
+        # one jit program per batch — the eager tower would dispatch every
+        # op separately through the device tunnel
+        jit_predict = jax.jit(
+            lambda p, im, cl: clip_mod.predict(cfg, p, im, cl))
 
         def predict_fn(batch):
             arrs = _shard_arrays(mesh, {"image": jnp.asarray(batch["image"])})
-            return clip_mod.predict(cfg, params, arrs["image"], classifier)
+            return jit_predict(params, arrs["image"], classifier)
 
         task = ClassificationTask(predict_fn)
         return runner.evaluate(
