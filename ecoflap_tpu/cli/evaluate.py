@@ -23,7 +23,8 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser(description="ECoFLaP-TPU evaluation")
     p.add_argument("--model", required=True,
-                   choices=["blip2_t5", "t5", "eva_clip", "clip", "llama",
+                   choices=["blip2_t5", "blip2_opt", "t5", "eva_clip",
+                            "clip", "llama",
                             "blip1"])
     p.add_argument("--model_scale", default="tiny", choices=["tiny", "full"])
     p.add_argument("--task", required=True,
@@ -167,6 +168,46 @@ def _synthetic_eval(args) -> Dict[str, Any]:
             metrics["steady_qps"] = round(
                 args.batch_size * len(steady) / sum(steady), 3)
         return metrics
+
+    if args.model == "blip2_opt" and args.task == "captioning":
+        from ecoflap_tpu.models import blip2_opt
+        from ecoflap_tpu.tasks.captioning import CaptionTask
+
+        cfg = (blip2_opt.blip2_opt2_7b() if args.model_scale == "full"
+               else blip2_opt.tiny_config())
+        params = _init_params(blip2_opt.init_params, cfg, args)
+        tok = HashTokenizer(vocab_size=cfg.opt.vocab_size)
+        gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
+                             num_beams=args.num_beams,
+                             min_length=8,  # caption_coco_opt2.7b_eval.yaml
+                             length_penalty=args.length_penalty,
+                             eos_token_id=cfg.opt.eos_token_id,
+                             pad_token_id=cfg.opt.pad_token_id)
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
+        # one shared prompt, unpadded (reference blip2_opt caption prompt)
+        prompt_ids, _ = tok(["a photo of"], max_length=4, add_eos=False)
+
+        def gen_fn(batch):
+            n = len(batch["image"])
+            ids = np.repeat(prompt_ids, n, axis=0)
+            arrs = _shard_arrays(mesh, {
+                "image": jnp.asarray(batch["image"]),
+                "ids": jnp.asarray(ids),
+                "mask": jnp.ones_like(jnp.asarray(ids))})
+            out = blip2_opt.generate(cfg, params, arrs["image"], arrs["ids"],
+                                     arrs["mask"], gen)
+            return [tok.decode(list(map(int, r))) for r in np.asarray(out)]
+
+        img = cfg.vit.img_size
+        batches = [{
+            "image": rng.normal(size=(args.batch_size, img, img, 3)).astype(np.float32),
+            "image_id": list(range(i * args.batch_size,
+                                   (i + 1) * args.batch_size)),
+            "gt_captions": [["a photo"] for _ in range(args.batch_size)],
+        } for i in range(args.eval_batches)]
+        task = CaptionTask(gen_fn)
+        return runner.evaluate(task, batches)
 
     if args.model in ("clip", "eva_clip") and args.task == "classification":
         from ecoflap_tpu.models import clip as clip_mod

@@ -8,6 +8,7 @@ Same pruning surface shape as Blip2T5: ``visual_encoder.blocks`` (per-tensor)
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -97,6 +98,44 @@ def _decoder_inputs(cfg, params, query_embeds, text_ids, text_mask):
     mask = jnp.concatenate(
         [jnp.ones((x.shape[0], nq), text_mask.dtype), text_mask], axis=1)
     return x, mask
+
+
+def generate(
+    cfg: Blip2OptConfig,
+    params: PyTree,
+    images: jax.Array,
+    prompt_ids: jax.Array,
+    prompt_mask: jax.Array,
+    gen=None,
+    use_beam: bool = True,
+) -> jax.Array:
+    """Jitted captioning/VQA generate (blip2_opt.py:154-236: query embeds
+    prepended to the prompt, HF beam search over the OPT decoder; the
+    reference's caption eval runs beam-5, max_len 30, min_len 8).
+
+    Prompts must be UNPADDED and uniform-length (the reference's captioning
+    path tokenizes one shared prompt) — positions and the HF length
+    accounting (min_length / length-penalty count prompt TOKENS, not query
+    embeds) are derived from the static prompt length."""
+    from ecoflap_tpu.models.generation import GenerateConfig
+
+    if gen is None:
+        gen = GenerateConfig(max_new_tokens=30, num_beams=5, min_length=8,
+                             eos_token_id=cfg.opt.eos_token_id,
+                             pad_token_id=cfg.opt.pad_token_id)
+    return _generate_jit(cfg, params, images, prompt_ids, prompt_mask, gen,
+                         use_beam)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "use_beam"))
+def _generate_jit(cfg, params, images, prompt_ids, prompt_mask, gen, use_beam):
+    q = encode_image(cfg, params, images)
+    x, mask = _decoder_inputs(cfg, params, q, prompt_ids, prompt_mask)
+    t = prompt_ids.shape[1]
+    return opt_mod.generate_from_embeds(
+        cfg.opt, params["opt_model"],
+        x[:, :-1], mask[:, :-1], prompt_ids[:, -1], gen, use_beam,
+        pos0=t - 1, len_offset=t)
 
 
 def per_sample_loss(cfg: Blip2OptConfig, params: PyTree, batch: Any) -> jax.Array:

@@ -68,12 +68,20 @@ class GenerateConfig:
 # ---------------------------------------------------------------------------
 
 def greedy_generate(
-    step_fn: StepFn, cache: PyTree, batch_size: int, gen: GenerateConfig
+    step_fn: StepFn, cache: PyTree, batch_size: int, gen: GenerateConfig,
+    tok0: Optional[jax.Array] = None, len_offset: int = 0
 ) -> jax.Array:
     """(B, max_new_tokens) greedy tokens; pads after EOS (HF ``_sample``:
-    processors on raw logits, finished rows keep feeding pad)."""
+    processors on raw logits, finished rows keep feeding pad).
+
+    Decoder-only prefix models (OPT): pass ``tok0`` = the LAST prompt token
+    per row (its K/V is not in the prefilled cache; step 0 processes it and
+    yields the first new token's logits) and ``len_offset`` = the prompt
+    length in tokens — HF's ``cur_len`` counts the prompt, so ``min_length``
+    and beam length-normalization must too."""
     S = gen.max_new_tokens
-    tok0 = jnp.full((batch_size,), gen.bos_token_id, jnp.int32)
+    if tok0 is None:
+        tok0 = jnp.full((batch_size,), gen.bos_token_id, jnp.int32)
     seqs0 = jnp.full((batch_size, S), gen.pad_token_id, jnp.int32)
 
     def body(carry, pos):
@@ -83,7 +91,7 @@ def greedy_generate(
             logits = _apply_repetition_penalty(
                 logits, seqs, pos, gen
             )
-        logits = _mask_min_length(logits, pos, gen)
+        logits = _mask_min_length(logits, pos + len_offset, gen)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, gen.pad_token_id, nxt)
         seqs = seqs.at[:, pos].set(nxt)
@@ -115,11 +123,18 @@ def beam_generate(
     cache: PyTree,
     batch_size: int,
     gen: GenerateConfig,
+    tok0: Optional[jax.Array] = None,
+    len_offset: int = 0,
 ) -> jax.Array:
     """Token-identical port of HF transformers' vectorized ``_beam_search``
     (``early_stopping=False``, ``do_sample=False``). ``cache`` must already be
     expanded to B*num_beams rows (sample-major). Returns the best finished
-    hypothesis per sample, (B, max_new_tokens), EOS included, pad after."""
+    hypothesis per sample, (B, max_new_tokens), EOS included, pad after.
+
+    ``tok0``/``len_offset``: decoder-only prefix support — see
+    ``greedy_generate``. HF normalizes hypothesis scores by the FULL
+    sequence length (prompt included, query embeds excluded), so OPT-style
+    callers pass the prompt token count as ``len_offset``."""
     nb = gen.num_beams
     K = 2 * nb  # beams_to_keep: (n_eos_tokens + 1) * nb, min 2*nb
     S = gen.max_new_tokens
@@ -127,7 +142,8 @@ def beam_generate(
     neg = jnp.float32(-1.0e9)
     lp = jnp.float32(gen.length_penalty)
 
-    tok0 = jnp.full((flat,), gen.bos_token_id, jnp.int32)
+    if tok0 is None:
+        tok0 = jnp.full((flat,), gen.bos_token_id, jnp.int32)
     # only beam 0 live at step 0 so the frontier diversifies
     run_scores = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((nb - 1,), neg)]), (batch_size,)
@@ -151,7 +167,7 @@ def beam_generate(
             logp = _apply_repetition_penalty(
                 logp, run_seqs.reshape(flat, S), pos, gen
             )
-        logp = _mask_min_length(logp, pos, gen)
+        logp = _mask_min_length(logp, pos + len_offset, gen)
         vocab = logp.shape[-1]
 
         cand = run_scores.reshape(flat)[:, None] + logp  # (flat, V)
@@ -174,7 +190,7 @@ def beam_generate(
 
         # finished update: length-normalized scores, rank < nb only,
         # blocked once the batch can no longer improve
-        norm = (pos + 1).astype(jnp.float32) ** lp
+        norm = (len_offset + pos + 1).astype(jnp.float32) ** lp
         fin_cand = topk_logp / norm
         eligible = hits & top_nb_mask
         fin_cand = fin_cand + (~eligible).astype(jnp.float32) * neg
@@ -188,7 +204,8 @@ def beam_generate(
 
         # early_stopping==False heuristic (post cur_len increment):
         # best running, normalized at current length, vs worst finished
-        best_running = run_scores[:, :1] / ((pos + 1).astype(jnp.float32) ** lp)
+        best_running = run_scores[:, :1] / (
+            (len_offset + pos + 1).astype(jnp.float32) ** lp)
         worst_fin = jnp.where(
             is_sent_finished, jnp.min(fin_scores, axis=1, keepdims=True), neg
         )

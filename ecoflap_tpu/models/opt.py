@@ -199,3 +199,142 @@ def make_adapter(cfg: OPTConfig, params: PyTree):
 
     return ModelAdapter(name="opt", params=params, loss_fn=loss_fn,
                         stacks=[stack], model_prefixes={stack.name: "model"})
+
+
+# ---------------------------------------------------------------------------
+# generation (decoder-only with a prefix): blip2_opt.py:154-236 generate —
+# the reference drives its custom OPT through HF beam search with
+# query_embeds prepended to the prompt tokens.
+# ---------------------------------------------------------------------------
+
+def init_gen_cache(
+    cfg: OPTConfig,
+    params: PyTree,
+    prefix_embeds: jax.Array,
+    prefix_mask: jax.Array,
+    max_new_tokens: int,
+) -> PyTree:
+    """Prefill: one full forward over the prefix embeddings, capturing every
+    layer's K/V into slots [0, P); slots [P, P+S) are reserved for generated
+    tokens. Leaves are batch-major (B leading) so beam reorder can gather
+    rows (generation.beam_generate does ``leaf[gather]``).
+
+    ``prefix_embeds`` must already include positional embeddings (the
+    caller owns the position scheme — blip2_opt restarts text positions
+    after the query embeds) and must EXCLUDE the last prompt token: that
+    token is fed as ``tok0`` so step 0 yields the first new token's logits.
+    """
+    p = prefix_embeds.shape[1]
+    bias = _cache(cfg, prefix_mask, p)
+
+    def body(x, bp):
+        h = layer_norm(bp["ln1"], x, cfg.ln_eps)
+        q = _proj(bp["attn"]["q"], h)
+        k = _proj(bp["attn"]["k"], h)
+        v = _proj(bp["attn"]["v"], h)
+        o = attention(q, k, v, cfg.num_heads, bias=bias)
+        x = x + _proj(bp["attn"]["o"], o)
+        h = layer_norm(bp["ln2"], x, cfg.ln_eps)
+        x = x + _proj(bp["mlp"]["fc2"], jax.nn.relu(_proj(bp["mlp"]["fc1"], h)))
+        return x, (k, v)
+
+    _, (ks, vs) = tower_scan(body, prefix_embeds, params["layers"])
+    pad = [(0, 0), (0, 0), (0, max_new_tokens), (0, 0)]
+    return {
+        # (L, B, P, d) -> (B, L, P+S, d)
+        "k": jnp.pad(ks, pad).transpose(1, 0, 2, 3),
+        "v": jnp.pad(vs, pad).transpose(1, 0, 2, 3),
+        # (B, P+S) key validity of the PREFIX slots; generated slots are
+        # handled positionally inside the step
+        "key_mask": jnp.pad(prefix_mask.astype(jnp.int32),
+                            [(0, 0), (0, max_new_tokens)]),
+    }
+
+
+def make_opt_step_fn(
+    cfg: OPTConfig, params: PyTree, prefix_len: int, pos0: int,
+    max_new_tokens: int
+):
+    """One-token decode step. ``prefix_len`` = prefilled slots (P);
+    ``pos0`` = the POSITION ID of the token processed at step 0 (the last
+    prompt token) — blip2_opt's text segment restarts at 0 after the query
+    embeds, so position ids and cache slots are decoupled."""
+    total = prefix_len + max_new_tokens
+    ar = jnp.arange(total)
+
+    def step_fn(tok: jax.Array, pos: jax.Array, cache: PyTree):
+        x = params["embed_tokens"][tok][:, None, :]
+        x = (x + params["embed_positions"][pos0 + pos + 2][None, None]
+             .astype(x.dtype))
+        write = prefix_len + pos
+        valid = (cache["key_mask"] > 0) | (
+            (ar >= prefix_len) & (ar <= write))[None]
+        bias = jnp.where(valid, 0.0, -1e9)[:, None, None, :].astype(jnp.float32)
+
+        def layer(x, inp):
+            bp, k_all, v_all = inp
+            h = layer_norm(bp["ln1"], x, cfg.ln_eps)
+            q = _proj(bp["attn"]["q"], h)
+            k_new = _proj(bp["attn"]["k"], h).astype(k_all.dtype)
+            v_new = _proj(bp["attn"]["v"], h).astype(v_all.dtype)
+            k_all = jax.lax.dynamic_update_slice_in_dim(k_all, k_new, write,
+                                                        axis=1)
+            v_all = jax.lax.dynamic_update_slice_in_dim(v_all, v_new, write,
+                                                        axis=1)
+            o = attention(q, k_all, v_all, cfg.num_heads, bias=bias)
+            x = x + _proj(bp["attn"]["o"], o)
+            h = layer_norm(bp["ln2"], x, cfg.ln_eps)
+            x = x + _proj(bp["mlp"]["fc2"],
+                          jax.nn.relu(_proj(bp["mlp"]["fc1"], h)))
+            return x, (k_all, v_all)
+
+        xs = (params["layers"],
+              cache["k"].swapaxes(0, 1), cache["v"].swapaxes(0, 1))
+        x, (ks, vs) = jax.lax.scan(layer, x, xs)
+        cache = {**cache, "k": ks.swapaxes(0, 1), "v": vs.swapaxes(0, 1)}
+        x = layer_norm(params["final_ln"], x, cfg.ln_eps)
+        logits = jnp.dot(x[:, 0], params["embed_tokens"].T,
+                         preferred_element_type=jnp.float32)
+        return logits, cache
+
+    return step_fn
+
+
+def generate_from_embeds(
+    cfg: OPTConfig,
+    params: PyTree,
+    prefix_embeds: jax.Array,
+    prefix_mask: jax.Array,
+    last_tok: jax.Array,
+    gen,
+    use_beam: bool = True,
+    pos0: Optional[int] = None,
+    len_offset: int = 0,
+) -> jax.Array:
+    """Generate from a position-embedded prefix (EXCLUDING the last prompt
+    token, which is ``last_tok``). ``len_offset`` = prompt length in TOKENS
+    (HF counts it in min_length/length-penalty; query embeds don't count).
+    ``pos0`` defaults to the sequence slot of ``last_tok``."""
+    from ecoflap_tpu.models.generation import (
+        beam_generate,
+        expand_for_beams,
+        greedy_generate,
+    )
+
+    b, p = prefix_embeds.shape[0], prefix_embeds.shape[1]
+    if pos0 is None:
+        pos0 = p
+    if use_beam and gen.num_beams > 1:
+        prefix_embeds = expand_for_beams(prefix_embeds, gen.num_beams)
+        prefix_mask = expand_for_beams(prefix_mask, gen.num_beams)
+        last_tok = expand_for_beams(last_tok, gen.num_beams)
+        cache = init_gen_cache(cfg, params, prefix_embeds, prefix_mask,
+                               gen.max_new_tokens)
+        step = make_opt_step_fn(cfg, params, p, pos0, gen.max_new_tokens)
+        return beam_generate(step, cache, b, gen, tok0=last_tok,
+                             len_offset=len_offset)
+    cache = init_gen_cache(cfg, params, prefix_embeds, prefix_mask,
+                           gen.max_new_tokens)
+    step = make_opt_step_fn(cfg, params, p, pos0, gen.max_new_tokens)
+    return greedy_generate(step, cache, b, gen, tok0=last_tok,
+                           len_offset=len_offset)
