@@ -209,6 +209,44 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         task = CaptionTask(gen_fn)
         return runner.evaluate(task, batches)
 
+    if args.model == "blip1" and args.task == "captioning":
+        from ecoflap_tpu.models import blip1
+        from ecoflap_tpu.tasks.captioning import CaptionTask
+
+        cfg = (blip1.blip_base() if args.model_scale == "full"
+               else blip1.tiny_config())
+        params = _init_params(blip1.init_params, cfg, args)
+        tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
+        eos = cfg.text.sep_token_id % cfg.text.vocab_size
+        gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
+                             num_beams=args.num_beams,
+                             min_length=5,  # blip_caption generate defaults
+                             length_penalty=args.length_penalty,
+                             eos_token_id=eos,
+                             pad_token_id=cfg.text.pad_token_id)
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
+        prompt_ids, _ = tok(["a picture of"], max_length=4, add_eos=False)
+
+        def gen_fn(batch):
+            n = len(batch["image"])
+            ids = np.repeat(prompt_ids, n, axis=0)
+            arrs = _shard_arrays(mesh, {
+                "image": jnp.asarray(batch["image"]),
+                "ids": jnp.asarray(ids)})
+            out = blip1.generate(cfg, params, arrs["image"], arrs["ids"], gen)
+            return [tok.decode(list(map(int, r))) for r in np.asarray(out)]
+
+        img = cfg.vit.img_size
+        batches = [{
+            "image": rng.normal(size=(args.batch_size, img, img, 3)).astype(np.float32),
+            "image_id": list(range(i * args.batch_size,
+                                   (i + 1) * args.batch_size)),
+            "gt_captions": [["a picture"] for _ in range(args.batch_size)],
+        } for i in range(args.eval_batches)]
+        task = CaptionTask(gen_fn)
+        return runner.evaluate(task, batches)
+
     if args.model in ("clip", "eva_clip") and args.task == "classification":
         from ecoflap_tpu.models import clip as clip_mod
         from ecoflap_tpu.tasks.classification import ClassificationTask

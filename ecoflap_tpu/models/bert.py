@@ -74,6 +74,8 @@ class BertConfig:
     add_cross_attention: bool = False
     causal: bool = False  # decoder mode
     ln_eps: float = 1e-12
+    pad_token_id: int = 0  # BERT tokenizer [PAD]
+    sep_token_id: int = 102  # [SEP] — BLIP's caption EOS
 
 
 def tiny_config(**kw) -> BertConfig:
@@ -246,3 +248,146 @@ def make_bert_stack(
         per_row_mask=True, prepare_inputs=prepare_inputs, block_forward=_fwd,
         blocks_path=blocks_path, local_to_path=LOCAL_TO_PATH,
     )
+
+
+# ---------------------------------------------------------------------------
+# generation (BLIP caption decoder): the reference generates captions via
+# HF BertLMHeadModel.generate with encoder_hidden_states cross-attention
+# (UPop/BLIP blip_caption generate: beam-3, max_length 20, min_length 5,
+# prompt "a picture of "). Decoder-only semantics: HF's cur_len counts the
+# prompt tokens (min_length only; the length-penalty normalization
+# subtracts decoder_prompt_len), so callers pass len_offset = T - 1.
+# ---------------------------------------------------------------------------
+
+def init_gen_cache(
+    cfg: BertConfig,
+    params: PyTree,
+    prompt_ids: jax.Array,
+    prompt_mask: jax.Array,
+    enc: jax.Array,
+    enc_mask: Optional[jax.Array],
+    max_new_tokens: int,
+) -> PyTree:
+    """Prefill over ``prompt_ids`` (which must EXCLUDE the last prompt
+    token — that is fed as ``tok0``): capture every layer's self K/V and
+    precompute the per-layer cross K/V once (the decode loop never touches
+    the encoder again). Leaves are batch-major for beam reorder."""
+    assert cfg.causal and cfg.add_cross_attention
+    if enc_mask is None:
+        enc_mask = jnp.ones(enc.shape[:2], jnp.int32)
+    p = prompt_ids.shape[1]
+    self_bias, cross_bias, _ = make_cache(cfg, prompt_mask, enc, enc_mask, p)
+    x = embed(cfg, params, prompt_ids)
+
+    def body(x, bp):
+        k = _proj(bp["attn"]["key"], x)
+        v = _proj(bp["attn"]["value"], x)
+        y, _ = block_forward(cfg, bp, x, (self_bias, cross_bias, enc))
+        ck = _proj(bp["cross"]["key"], enc.astype(x.dtype))
+        cv = _proj(bp["cross"]["value"], enc.astype(x.dtype))
+        return y, (k, v, ck, cv)
+
+    _, (ks, vs, cks, cvs) = tower_scan(body, x, params["blocks"])
+    pad = [(0, 0), (0, 0), (0, max_new_tokens), (0, 0)]
+    return {
+        "self_k": jnp.pad(ks, pad).transpose(1, 0, 2, 3),
+        "self_v": jnp.pad(vs, pad).transpose(1, 0, 2, 3),
+        "cross_k": cks.transpose(1, 0, 2, 3),
+        "cross_v": cvs.transpose(1, 0, 2, 3),
+        "cross_bias": mask_bias(enc_mask),
+        "key_mask": jnp.pad(prompt_mask.astype(jnp.int32),
+                            [(0, 0), (0, max_new_tokens)]),
+    }
+
+
+def make_bert_step_fn(cfg: BertConfig, params: PyTree, prefix_len: int,
+                      max_new_tokens: int):
+    """One-token decode step (post-LN residuals, cross-attn every layer,
+    BertLMPredictionHead logits). Absolute position of the token processed
+    at step ``pos`` is ``prefix_len + pos`` (the last prompt token sits at
+    slot/position ``prefix_len``)."""
+    total = prefix_len + max_new_tokens
+    ar = jnp.arange(total)
+    e = params["embeddings"]
+
+    def _attn_1(q, k, v, bias):
+        return attention(q, k, v, cfg.num_heads, bias=bias)
+
+    def step_fn(tok: jax.Array, pos: jax.Array, cache: PyTree):
+        x = e["word"][tok][:, None, :]
+        x = x + jax.lax.dynamic_slice_in_dim(
+            e["position"], prefix_len + pos, 1, axis=0)[None].astype(x.dtype)
+        x = layer_norm(e["ln"], x, cfg.ln_eps)
+        write = prefix_len + pos
+        valid = (cache["key_mask"] > 0) | (
+            (ar >= prefix_len) & (ar <= write))[None]
+        self_bias = jnp.where(valid, 0.0, -1e9)[:, None, None, :].astype(
+            jnp.float32)
+        cross_bias = cache["cross_bias"]
+
+        def layer(x, inp):
+            bp, sk, sv, ck, cv = inp
+            q = _proj(bp["attn"]["query"], x)
+            k_new = _proj(bp["attn"]["key"], x).astype(sk.dtype)
+            v_new = _proj(bp["attn"]["value"], x).astype(sv.dtype)
+            sk = jax.lax.dynamic_update_slice_in_dim(sk, k_new, write, axis=1)
+            sv = jax.lax.dynamic_update_slice_in_dim(sv, v_new, write, axis=1)
+            o = _proj(bp["attn"]["out"], _attn_1(q, sk, sv, self_bias))
+            x = layer_norm(bp["attn"]["ln"], o + x, cfg.ln_eps)
+
+            q = _proj(bp["cross"]["query"], x)
+            o = _proj(bp["cross"]["out"], _attn_1(q, ck, cv, cross_bias))
+            x = layer_norm(bp["cross"]["ln"], o + x, cfg.ln_eps)
+
+            h = jax.nn.gelu(_proj(bp["ffn"]["intermediate"], x),
+                            approximate=False)
+            x = layer_norm(bp["ffn"]["ln"], _proj(bp["ffn"]["out"], h) + x,
+                           cfg.ln_eps)
+            return x, (sk, sv)
+
+        xs = (params["blocks"],
+              cache["self_k"].swapaxes(0, 1), cache["self_v"].swapaxes(0, 1),
+              cache["cross_k"].swapaxes(0, 1), cache["cross_v"].swapaxes(0, 1))
+        x, (sk, sv) = jax.lax.scan(layer, x, xs)
+        cache = {**cache, "self_k": sk.swapaxes(0, 1),
+                 "self_v": sv.swapaxes(0, 1)}
+        logits = lm_logits(cfg, params, x)[:, 0]
+        return logits, cache
+
+    return step_fn
+
+
+def generate_with_encoder(
+    cfg: BertConfig,
+    params: PyTree,
+    prompt_ids: jax.Array,
+    enc: jax.Array,
+    gen,
+    use_beam: bool = True,
+) -> jax.Array:
+    """Generate from an UNPADDED uniform prompt with cross-attention to
+    ``enc`` (the BLIP caption path: one shared prompt per batch)."""
+    from ecoflap_tpu.models.generation import (
+        beam_generate,
+        expand_for_beams,
+        greedy_generate,
+    )
+
+    b, t = prompt_ids.shape
+    mask = jnp.ones((b, t - 1), jnp.int32)
+    prefix, last = prompt_ids[:, :-1], prompt_ids[:, -1]
+    if use_beam and gen.num_beams > 1:
+        prefix = expand_for_beams(prefix, gen.num_beams)
+        mask = expand_for_beams(mask, gen.num_beams)
+        last = expand_for_beams(last, gen.num_beams)
+        enc_b = expand_for_beams(enc, gen.num_beams)
+        cache = init_gen_cache(cfg, params, prefix, mask, enc_b, None,
+                               gen.max_new_tokens)
+        step = make_bert_step_fn(cfg, params, t - 1, gen.max_new_tokens)
+        return beam_generate(step, cache, b, gen, tok0=last,
+                             len_offset=t - 1)
+    cache = init_gen_cache(cfg, params, prefix, mask, enc, None,
+                           gen.max_new_tokens)
+    step = make_bert_step_fn(cfg, params, t - 1, gen.max_new_tokens)
+    return greedy_generate(step, cache, b, gen, tok0=last,
+                           len_offset=t - 1)

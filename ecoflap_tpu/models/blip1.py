@@ -17,6 +17,7 @@ text_proj -> shared 256-d space, blip.py BLIP_Base).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -100,6 +101,34 @@ def per_sample_loss(cfg: Blip1Config, params: PyTree, batch: Any) -> jax.Array:
     ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     ce = jnp.where(valid, ce, 0.0)
     return jnp.sum(ce, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1)
+
+
+def generate(
+    cfg: Blip1Config,
+    params: PyTree,
+    images: jax.Array,
+    prompt_ids: jax.Array,
+    gen=None,
+    use_beam: bool = True,
+) -> jax.Array:
+    """Jitted caption generate: ViT features cross-attended by the BERT
+    decoder under HF beam-search semantics (the reference's
+    blip_caption.generate / UPop caption eval: beam-3, max_length 20,
+    min_length 5, shared unpadded prompt 'a picture of ')."""
+    from ecoflap_tpu.models.generation import GenerateConfig
+
+    if gen is None:
+        gen = GenerateConfig(max_new_tokens=20, num_beams=3, min_length=5,
+                             eos_token_id=cfg.text.sep_token_id,
+                             pad_token_id=cfg.text.pad_token_id)
+    return _generate_jit(cfg, params, images, prompt_ids, gen, use_beam)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "use_beam"))
+def _generate_jit(cfg, params, images, prompt_ids, gen, use_beam):
+    img = encode_image(cfg, params, images)
+    return bert_mod.generate_with_encoder(
+        cfg.text, params["text_decoder"], prompt_ids, img, gen, use_beam)
 
 
 def itc_features(cfg: Blip1Config, params: PyTree, images, ids, mask):

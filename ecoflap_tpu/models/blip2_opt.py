@@ -115,8 +115,9 @@ def generate(
 
     Prompts must be UNPADDED and uniform-length (the reference's captioning
     path tokenizes one shared prompt) — positions and the HF length
-    accounting (min_length / length-penalty count prompt TOKENS, not query
-    embeds) are derived from the static prompt length."""
+    accounting (min_length counts the prompt TOKENS, not the query embeds;
+    length-penalty normalization counts neither) come from the static
+    prompt length."""
     from ecoflap_tpu.models.generation import GenerateConfig
 
     if gen is None:
@@ -135,7 +136,7 @@ def _generate_jit(cfg, params, images, prompt_ids, prompt_mask, gen, use_beam):
     return opt_mod.generate_from_embeds(
         cfg.opt, params["opt_model"],
         x[:, :-1], mask[:, :-1], prompt_ids[:, -1], gen, use_beam,
-        pos0=t - 1, len_offset=t)
+        pos0=t - 1, len_offset=t - 1)
 
 
 def per_sample_loss(cfg: Blip2OptConfig, params: PyTree, batch: Any) -> jax.Array:

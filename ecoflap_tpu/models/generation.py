@@ -74,11 +74,14 @@ def greedy_generate(
     """(B, max_new_tokens) greedy tokens; pads after EOS (HF ``_sample``:
     processors on raw logits, finished rows keep feeding pad).
 
-    Decoder-only prefix models (OPT): pass ``tok0`` = the LAST prompt token
-    per row (its K/V is not in the prefilled cache; step 0 processes it and
-    yields the first new token's logits) and ``len_offset`` = the prompt
-    length in tokens — HF's ``cur_len`` counts the prompt, so ``min_length``
-    and beam length-normalization must too."""
+    Decoder-only prefix models (OPT/BLIP): pass ``tok0`` = the LAST prompt
+    token per row (its K/V is not in the prefilled cache; step 0 processes
+    it and yields the first new token's logits) and ``len_offset`` =
+    prompt_len - 1, so HF's ``cur_len`` (= len_offset + pos + 1) counts the
+    whole prompt. Only ``min_length`` uses it: HF's MinLengthLogitsProcessor
+    compares cur_len, but the beam length normalization subtracts
+    ``decoder_prompt_len`` (generation/utils.py:3087) and stays
+    offset-free. T5 passes 0 (decoder_start is the +1)."""
     S = gen.max_new_tokens
     if tok0 is None:
         tok0 = jnp.full((batch_size,), gen.bos_token_id, jnp.int32)
@@ -132,9 +135,10 @@ def beam_generate(
     hypothesis per sample, (B, max_new_tokens), EOS included, pad after.
 
     ``tok0``/``len_offset``: decoder-only prefix support — see
-    ``greedy_generate``. HF normalizes hypothesis scores by the FULL
-    sequence length (prompt included, query embeds excluded), so OPT-style
-    callers pass the prompt token count as ``len_offset``."""
+    ``greedy_generate``. ``len_offset`` (prompt_len - 1) feeds ONLY the
+    min-length EOS mask; HF's hypothesis normalization subtracts
+    ``decoder_prompt_len``, so scores are normalized by generated length
+    alone."""
     nb = gen.num_beams
     K = 2 * nb  # beams_to_keep: (n_eos_tokens + 1) * nb, min 2*nb
     S = gen.max_new_tokens
@@ -190,7 +194,9 @@ def beam_generate(
 
         # finished update: length-normalized scores, rank < nb only,
         # blocked once the batch can no longer improve
-        norm = (len_offset + pos + 1).astype(jnp.float32) ** lp
+        # HF normalizes by cur_len+1-decoder_prompt_len (utils.py:3087):
+        # the prompt does NOT count — norm is offset-free
+        norm = (pos + 1).astype(jnp.float32) ** lp
         fin_cand = topk_logp / norm
         eligible = hits & top_nb_mask
         fin_cand = fin_cand + (~eligible).astype(jnp.float32) * neg
@@ -204,8 +210,7 @@ def beam_generate(
 
         # early_stopping==False heuristic (post cur_len increment):
         # best running, normalized at current length, vs worst finished
-        best_running = run_scores[:, :1] / (
-            (len_offset + pos + 1).astype(jnp.float32) ** lp)
+        best_running = run_scores[:, :1] / ((pos + 1).astype(jnp.float32) ** lp)
         worst_fin = jnp.where(
             is_sent_finished, jnp.min(fin_scores, axis=1, keepdims=True), neg
         )

@@ -312,8 +312,9 @@ def generate_from_embeds(
     len_offset: int = 0,
 ) -> jax.Array:
     """Generate from a position-embedded prefix (EXCLUDING the last prompt
-    token, which is ``last_tok``). ``len_offset`` = prompt length in TOKENS
-    (HF counts it in min_length/length-penalty; query embeds don't count).
+    token, which is ``last_tok``). ``len_offset`` = prompt token count - 1
+    (HF's min_length counts the prompt; query embeds and the length-penalty
+    normalization don't).
     ``pos0`` defaults to the sequence slot of ``last_tok``."""
     from ecoflap_tpu.models.generation import (
         beam_generate,

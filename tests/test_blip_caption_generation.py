@@ -1,0 +1,141 @@
+"""BLIP caption decoder generation: HF BertLMHeadModel.generate token
+parity (cross-attention, decoder-only prompt offsets) and the BLIP-1
+composition (reference blip_caption generate: beam-3, min_length 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecoflap_tpu.models import bert as bert_mod
+from ecoflap_tpu.models import blip1
+from ecoflap_tpu.models.generation import GenerateConfig
+
+torch = pytest.importorskip("torch")
+
+EOS, PAD = 5, 0
+
+
+def _hf_twin(seed=0):
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertLMHeadModel
+
+    hf_cfg = HFBertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, hidden_act="gelu",
+        is_decoder=True, add_cross_attention=True, pad_token_id=PAD,
+    )
+    torch.manual_seed(seed)
+    hf = BertLMHeadModel(hf_cfg).eval()
+
+    cfg = bert_mod.BertConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=48, max_position=64, encoder_width=32,
+        add_cross_attention=True, causal=True, pad_token_id=PAD,
+        sep_token_id=EOS,
+    )
+    from ecoflap_tpu.utils.checkpoint import convert_bert_stack
+
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_bert_stack(state, cfg, prefix="bert.")
+    # fold HF's type-0 token-type embedding into the word table
+    tt = hf.bert.embeddings.token_type_embeddings.weight[0].detach().numpy()
+    params["embeddings"]["word"] = params["embeddings"]["word"] + tt
+    return hf, cfg, params
+
+
+@pytest.mark.parametrize("num_beams,length_penalty,min_extra",
+                         [(1, 1.0, 0), (3, 1.0, 3), (3, 2.0, 1)])
+def test_bert_decoder_hf_generate_parity(num_beams, length_penalty,
+                                         min_extra):
+    hf, cfg, params = _hf_twin()
+    rng = np.random.default_rng(2)
+    B, T, S, SE = 3, 4, 7, 5
+    ids = rng.integers(6, cfg.vocab_size, size=(B, T))
+    enc = rng.normal(size=(B, SE, 32)).astype(np.float32)
+    min_length = T + min_extra
+    gen = GenerateConfig(max_new_tokens=S, num_beams=num_beams,
+                         min_length=min_length,
+                         length_penalty=length_penalty,
+                         eos_token_id=EOS, pad_token_id=PAD)
+    with torch.no_grad():
+        # use_cache=False: HF Bert's CACHED beam path diverges from its own
+        # teacher-forced logits (cached single-token kernels round
+        # differently, flipping near-tie beams on tiny random models) — a
+        # step-by-step simulator driven by HF's own teacher-forced logits
+        # reproduces the no-cache output, which is what our port matches.
+        out = hf.generate(
+            input_ids=torch.tensor(ids),
+            encoder_hidden_states=torch.tensor(enc),
+            encoder_attention_mask=torch.ones(B, SE, dtype=torch.long),
+            do_sample=False, num_beams=num_beams, max_new_tokens=S,
+            min_length=min_length, length_penalty=length_penalty,
+            early_stopping=False, eos_token_id=EOS, pad_token_id=PAD,
+            use_cache=False,
+        ).numpy()[:, T:]
+    if out.shape[1] < S:
+        out = np.pad(out, [(0, 0), (0, S - out.shape[1])],
+                     constant_values=PAD)
+    ours = np.asarray(bert_mod.generate_with_encoder(
+        cfg, params, jnp.asarray(ids, jnp.int32), jnp.asarray(enc),
+        gen, use_beam=num_beams > 1))
+
+    def canon(seqs):
+        seqs = np.array(seqs)
+        for row in seqs:
+            hit = np.where(row == EOS)[0]
+            if hit.size:
+                row[hit[0] + 1:] = PAD
+        return seqs
+
+    np.testing.assert_array_equal(canon(ours), canon(out))
+
+
+def test_bert_cached_step_matches_teacher_forced():
+    """Greedy via the prefilled KV cache == argmax loop over full forwards
+    (cross-attention included)."""
+    _, cfg, params = _hf_twin(seed=1)
+    rng = np.random.default_rng(3)
+    B, T, S, SE = 2, 4, 6, 5
+    ids = rng.integers(6, cfg.vocab_size, size=(B, T))
+    enc = jnp.asarray(rng.normal(size=(B, SE, 32)), jnp.float32)
+    gen = GenerateConfig(max_new_tokens=S, num_beams=1, min_length=1,
+                         eos_token_id=EOS, pad_token_id=PAD)
+    got = np.asarray(bert_mod.generate_with_encoder(
+        cfg, params, jnp.asarray(ids, jnp.int32), enc, gen, use_beam=False))
+
+    cur = ids.copy()
+    done = np.zeros(B, bool)
+    want = np.full((B, S), PAD, np.int64)
+    for s in range(S):
+        hidden = bert_mod.forward(cfg, params, jnp.asarray(cur, jnp.int32),
+                                  enc=enc)
+        logits = np.asarray(
+            bert_mod.lm_logits(cfg, params, hidden))[:, -1]
+        nxt = logits.argmax(-1)
+        nxt = np.where(done, PAD, nxt)
+        want[:, s] = nxt
+        done |= nxt == EOS
+        cur = np.concatenate([cur, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_blip1_generate_beam1_equals_greedy():
+    cfg = blip1.tiny_config()
+    params = blip1.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, cfg.vit.img_size, cfg.vit.img_size, 3))
+    ids = rng.integers(6, cfg.text.vocab_size, size=(2, 3))
+    gen = GenerateConfig(max_new_tokens=5, num_beams=1, min_length=1,
+                         eos_token_id=cfg.text.sep_token_id % cfg.text.vocab_size,
+                         pad_token_id=cfg.text.pad_token_id)
+    greedy = np.asarray(blip1.generate(
+        cfg, params, jnp.asarray(img, jnp.float32),
+        jnp.asarray(ids, jnp.int32), gen, use_beam=False))
+    beam1 = np.asarray(blip1.generate(
+        cfg, params, jnp.asarray(img, jnp.float32),
+        jnp.asarray(ids, jnp.int32), gen, use_beam=True))
+    np.testing.assert_array_equal(greedy, beam1)
+    assert greedy.shape == (2, 5)
