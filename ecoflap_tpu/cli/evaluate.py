@@ -209,6 +209,50 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         task = CaptionTask(gen_fn)
         return runner.evaluate(task, batches)
 
+    if args.model == "blip1" and args.task == "retrieval":
+        from ecoflap_tpu.models import blip1
+        from ecoflap_tpu.tasks.retrieval import RetrievalTask
+
+        cfg = (blip1.blip_base() if args.model_scale == "full"
+               else blip1.tiny_config())
+        params = _init_params(blip1.init_retrieval_params, cfg, args)
+        tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
+        sim_jit = jax.jit(lambda p, im, ids, m:
+                          blip1.retrieval_sim_matrix(cfg, p, im, ids, m))
+        itm_jit = jax.jit(lambda p, im, ids, m:
+                          blip1.itm_logits(cfg, p, im, ids, m))
+
+        def sim_fn(dataset):
+            return np.asarray(sim_jit(params, dataset["image"],
+                                      dataset["text_ids"],
+                                      dataset["text_mask"]))
+
+        def rerank_fn(dataset, sim, topk):
+            # ITM re-rank of each image's top-k texts (retrieval.py ITM
+            # second stage): itm logit[1] replaces the ITC score
+            sim = sim.copy()
+            for i in range(sim.shape[0]):
+                ids = dataset["text_ids"][topk[i]]
+                m = dataset["text_mask"][topk[i]]
+                img = jnp.repeat(dataset["image"][i:i + 1], len(topk[i]),
+                                 axis=0)
+                lg = np.asarray(itm_jit(params, img, ids, m))
+                sim[i, topk[i]] = lg[:, 1] + sim[i, topk[i]]
+            return sim
+
+        n = args.batch_size
+        img = cfg.vit.img_size
+        ids, mask = tok([f"caption {i}" for i in range(n)], max_length=8)
+        dataset = {
+            "image": jnp.asarray(
+                rng.normal(size=(n, img, img, 3)), jnp.float32),
+            "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
+        }
+        task = RetrievalTask(sim_fn, rerank_fn=rerank_fn, k_test=min(8, n))
+        return runner.evaluate(task, dataset)
+
     if args.model == "blip1" and args.task == "captioning":
         from ecoflap_tpu.models import blip1
         from ecoflap_tpu.tasks.captioning import CaptionTask
