@@ -29,7 +29,7 @@ def build_parser():
     p.add_argument("--model_scale", default="tiny", choices=["tiny", "full"])
     p.add_argument("--task", required=True,
                    choices=["vqa", "gqa", "captioning", "classification",
-                            "retrieval", "mmlu", "wikitext_ppl"])
+                            "retrieval", "nlvr", "mmlu", "wikitext_ppl"])
     p.add_argument("--tokenizer_path", default=None,
                    help="local tokenizer.json (real subword vocab)")
     p.add_argument("--checkpoint", default=None,
@@ -252,6 +252,36 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         }
         task = RetrievalTask(sim_fn, rerank_fn=rerank_fn, k_test=min(8, n))
         return runner.evaluate(task, dataset)
+
+    if args.model == "blip1" and args.task == "nlvr":
+        from ecoflap_tpu.models import blip1
+        from ecoflap_tpu.tasks.classification import ClassificationTask
+
+        cfg = (blip1.blip_base() if args.model_scale == "full"
+               else blip1.tiny_config())
+        params = _init_params(blip1.init_nlvr_params, cfg, args)
+        tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
+        nlvr_jit = jax.jit(lambda p, b: blip1.nlvr_forward(cfg, p, b))
+
+        def predict_fn(batch):
+            ids, mask = tok(batch["text_input"], max_length=12)
+            arrs = _shard_arrays(mesh, {
+                "image0": jnp.asarray(batch["image0"]),
+                "image1": jnp.asarray(batch["image1"]),
+                "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask)})
+            return nlvr_jit(params, arrs)
+
+        img = cfg.vit.img_size
+        batches = [{
+            "image0": rng.normal(size=(args.batch_size, img, img, 3)).astype(np.float32),
+            "image1": rng.normal(size=(args.batch_size, img, img, 3)).astype(np.float32),
+            "text_input": [f"statement {i}" for i in range(args.batch_size)],
+            "label": rng.integers(0, 2, size=(args.batch_size,)),
+        } for _ in range(args.eval_batches)]
+        task = ClassificationTask(predict_fn)
+        return runner.evaluate(task, batches)
 
     if args.model == "blip1" and args.task == "captioning":
         from ecoflap_tpu.models import blip1

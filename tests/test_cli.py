@@ -153,3 +153,24 @@ def test_cli_llama_host_stream_orchestrated(tmp_path):
     assert len(result["stages"]) == 2  # coarse child + one fine stage
     assert 0.40 < result["prunable_sparsity"] < 0.60
     assert result["checkpoint"]
+
+
+@pytest.mark.parametrize("model,task", [
+    ("blip2_opt", "captioning"),
+    ("blip1", "captioning"),
+    ("blip1", "retrieval"),
+    ("blip1", "nlvr"),
+])
+def test_cli_evaluate_model_task_smokes(tmp_path, model, task):
+    """Every reference eval surface has a runnable CLI path: the UPop/BLIP
+    and BLIP2-OPT combos added in round 3 produce finite metrics end-to-end
+    at tiny scale (generate/sim/ITM-rerank/twin-stream NLVR)."""
+    from ecoflap_tpu.cli.evaluate import main as eval_main
+
+    result = eval_main([
+        "--model", model, "--task", task, "--synthetic",
+        "--platform", "cpu", "--batch_size", "4", "--eval_batches", "2",
+        "--max_new_tokens", "4", "--num_beams", "2",
+        "--output_dir", str(tmp_path),
+    ])
+    assert np.isfinite(result["agg_metrics"])
