@@ -11,6 +11,7 @@ files (data/datasets.py builders) or --synthetic for a smoke pass.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 from typing import Any, Dict
@@ -252,6 +253,46 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         }
         task = RetrievalTask(sim_fn, rerank_fn=rerank_fn, k_test=min(8, n))
         return runner.evaluate(task, dataset)
+
+    if args.model == "blip1" and args.task == "vqa":
+        from ecoflap_tpu.models import blip1
+        from ecoflap_tpu.tasks.vqa import VQATask
+
+        cfg = (blip1.blip_base() if args.model_scale == "full"
+               else blip1.tiny_config())
+        params = _init_params(blip1.init_vqa_params, cfg, args)
+        tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
+        # rank inference (blip_vqa.py predict_answers inference='rank'):
+        # candidates scored, not generated
+        answer_list = [f"answer {i}" for i in range(16)] + ["yes", "no"]
+        bos = 2
+        a_ids, a_mask = tok(answer_list, max_length=6, add_eos=False)
+        a_ids = np.concatenate(
+            [np.full((len(answer_list), 1), bos, np.int32), a_ids], axis=1)
+        a_mask = np.concatenate(
+            [np.ones((len(answer_list), 1), np.int32), a_mask], axis=1)
+        rank_jit = jax.jit(functools.partial(blip1.rank_answers, cfg, k=8))
+
+        def predict_fn(batch):
+            ids, mask = tok(batch["text_input"], max_length=12)
+            arrs = _shard_arrays(mesh, {
+                "image": jnp.asarray(batch["image"]),
+                "ids": jnp.asarray(ids), "mask": jnp.asarray(mask)})
+            idx = np.asarray(rank_jit(
+                params, arrs["image"], arrs["ids"], arrs["mask"],
+                jnp.asarray(a_ids), jnp.asarray(a_mask)))
+            return [answer_list[i] for i in idx]
+
+        img = cfg.vit.img_size
+        batches = [{
+            "image": rng.normal(size=(args.batch_size, img, img, 3)).astype(np.float32),
+            "text_input": [f"question {i}" for i in range(args.batch_size)],
+            "gt_answers": [["yes"] * 10 for _ in range(args.batch_size)],
+        } for _ in range(args.eval_batches)]
+        task = VQATask(predict_fn)
+        return runner.evaluate(task, batches)
 
     if args.model == "blip1" and args.task == "nlvr":
         from ecoflap_tpu.models import blip1

@@ -187,6 +187,52 @@ def vqa_loss(cfg: Blip1Config, params: PyTree, batch) -> jax.Array:
     return jnp.sum(ce, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1)
 
 
+def rank_answers(
+    cfg: Blip1Config,
+    params: PyTree,
+    images: jax.Array,
+    q_ids: jax.Array,
+    q_mask: jax.Array,
+    answer_ids: jax.Array,
+    answer_mask: jax.Array,
+    k: int = 128,
+) -> jax.Array:
+    """(B,) best answer-list indices — the reference's rank inference
+    (UPop blip_vqa.py:132-177 rank_answer): a bos-only decoder pass picks
+    the top-k candidates by FIRST-token probability, then the full decoder
+    LM scores them (per-sample token-SUM of log-probs, med.py
+    reduction='none' semantics) and argmax wins. ``answer_ids[:, 0]`` must
+    be the shared decoder bos."""
+    img = encode_image(cfg, params, images)
+    enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False})
+    q_states = bert_mod.forward(enc_cfg, params["text_encoder"], q_ids,
+                                q_mask, img)
+    b = q_ids.shape[0]
+    n = answer_ids.shape[0]
+    k = min(k, n)
+
+    start_ids = jnp.full((b, 1), answer_ids[0, 0], jnp.int32)
+    hidden = bert_mod.forward(cfg.text, params["text_decoder"], start_ids,
+                              jnp.ones((b, 1), jnp.int32), q_states, q_mask)
+    logits = bert_mod.lm_logits(cfg.text, params["text_decoder"], hidden)[:, 0]
+    first_prob = jax.nn.softmax(logits, axis=-1)[:, answer_ids[:, 1]]  # (B, N)
+    _, topk_idx = jax.lax.top_k(first_prob, k)  # (B, k)
+
+    flat_ids = answer_ids[topk_idx].reshape(b * k, -1)
+    flat_mask = answer_mask[topk_idx].reshape(b * k, -1)
+    hidden = bert_mod.forward(
+        cfg.text, params["text_decoder"], flat_ids, flat_mask,
+        jnp.repeat(q_states, k, axis=0), jnp.repeat(q_mask, k, axis=0))
+    logits = bert_mod.lm_logits(cfg.text, params["text_decoder"], hidden)
+    targets = flat_ids[:, 1:]
+    valid = flat_mask[:, 1:] > 0
+    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    lp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    score = jnp.sum(jnp.where(valid, lp, 0.0), axis=-1).reshape(b, k)
+    best = jnp.argmax(score, axis=1)
+    return topk_idx[jnp.arange(b), best]
+
+
 def make_vqa_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
     vit_stack = eva_vit.make_stack(
         cfg.vit, name="visual_encoder.blocks", blocks_path="visual_encoder.blocks"

@@ -139,3 +139,54 @@ def test_blip1_generate_beam1_equals_greedy():
         jnp.asarray(ids, jnp.int32), gen, use_beam=True))
     np.testing.assert_array_equal(greedy, beam1)
     assert greedy.shape == (2, 5)
+
+
+def test_blip1_rank_answers_matches_bruteforce():
+    """rank_answers with k=N == brute-force token-SUM LM scoring of every
+    candidate (the reference's reduction='none' semantics); k<N keeps the
+    first-token filter's shape contract."""
+    cfg = blip1.tiny_config()
+    params = blip1.init_vqa_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    B, N, A = 3, 6, 5
+    img = jnp.asarray(rng.normal(size=(B, cfg.vit.img_size,
+                                       cfg.vit.img_size, 3)), jnp.float32)
+    q_ids = jnp.asarray(rng.integers(6, cfg.text.vocab_size, size=(B, 4)),
+                        jnp.int32)
+    q_mask = jnp.ones((B, 4), jnp.int32)
+    bos = 2
+    ans = rng.integers(6, cfg.text.vocab_size, size=(N, A))
+    ans[:, 0] = bos
+    ans_mask = np.ones((N, A), np.int64)
+    ans_mask[:, 3:] = rng.integers(0, 2, size=(N, A - 3))  # ragged lengths
+    ans_ids = jnp.asarray(ans, jnp.int32)
+    ans_m = jnp.asarray(ans_mask, jnp.int32)
+
+    got = np.asarray(blip1.rank_answers(
+        cfg, params, img, q_ids, q_mask, ans_ids, ans_m, k=N))
+
+    # brute force: score every (question, answer) pair
+    from ecoflap_tpu.models import bert as bert_mod
+    enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False})
+    q_states = bert_mod.forward(enc_cfg, params["text_encoder"], q_ids,
+                                q_mask, blip1.encode_image(cfg, params, img))
+    want = np.zeros(B, np.int64)
+    for b in range(B):
+        scores = []
+        for j in range(N):
+            hidden = bert_mod.forward(
+                cfg.text, params["text_decoder"], ans_ids[j:j + 1],
+                ans_m[j:j + 1], q_states[b:b + 1], q_mask[b:b + 1])
+            logits = bert_mod.lm_logits(cfg.text, params["text_decoder"],
+                                        hidden)
+            logp = np.asarray(jax.nn.log_softmax(logits[:, :-1], -1))[0]
+            tgt = np.asarray(ans_ids[j, 1:])
+            val = np.asarray(ans_m[j, 1:]) > 0
+            scores.append(float((logp[np.arange(A - 1), tgt] * val).sum()))
+        want[b] = int(np.argmax(scores))
+    np.testing.assert_array_equal(got, want)
+
+    # k < N: output stays a valid index set
+    got_k = np.asarray(blip1.rank_answers(
+        cfg, params, img, q_ids, q_mask, ans_ids, ans_m, k=3))
+    assert got_k.shape == (B,) and (0 <= got_k).all() and (got_k < N).all()
