@@ -24,9 +24,8 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser(description="ECoFLaP-TPU evaluation")
     p.add_argument("--model", required=True,
-                   choices=["blip2_t5", "blip2_opt", "t5", "eva_clip",
-                            "clip", "llama",
-                            "blip1"])
+                   choices=["blip2_t5", "blip2_opt", "blip2_qformer", "t5",
+                            "eva_clip", "clip", "llama", "blip1"])
     p.add_argument("--model_scale", default="tiny", choices=["tiny", "full"])
     p.add_argument("--task", required=True,
                    choices=["vqa", "gqa", "captioning", "classification",
@@ -253,6 +252,26 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         }
         task = RetrievalTask(sim_fn, rerank_fn=rerank_fn, k_test=min(8, n))
         return runner.evaluate(task, dataset)
+
+    if args.model == "blip2_qformer" and args.task == "retrieval":
+        from ecoflap_tpu.models import blip2_qformer as q1
+        from ecoflap_tpu.tasks.retrieval import score_retrieval_pair
+
+        cfg = q1.tiny_config()
+        params = q1.init_params(cfg, jax.random.PRNGKey(args.seed))
+        tok = HashTokenizer(vocab_size=cfg.vocab_size)
+        n = args.batch_size
+        # stage-1 retrieval consumes frozen ViT features directly
+        # (blip2_retrieval: compute_sim_matrix over extracted embeds)
+        embeds = jnp.asarray(
+            rng.normal(size=(n, 8, cfg.qformer.encoder_width)), jnp.float32)
+        ids, mask = tok([f"caption {i}" for i in range(n)], max_length=8)
+        s_i2t, s_t2i = q1.compute_sim_matrix(
+            cfg, params, embeds, jnp.asarray(ids), jnp.asarray(mask),
+            k_test=min(8, n))
+        metrics = score_retrieval_pair(np.asarray(s_i2t), np.asarray(s_t2i))
+        runner.log_metrics(metrics)
+        return metrics
 
     if args.model == "blip1" and args.task == "vqa":
         from ecoflap_tpu.models import blip1

@@ -26,6 +26,18 @@ def score_retrieval(
 ) -> Dict[str, float]:
     """sim_i2t: (N_img, N_txt). txt2img[j] = gt image of text j; img2txt[i] =
     list of gt texts of image i (defaults: identity pairing)."""
+    return score_retrieval_pair(sim_i2t, sim_i2t.T, txt2img, img2txt)
+
+
+def score_retrieval_pair(
+    sim_i2t: np.ndarray,
+    sim_t2i: np.ndarray,
+    txt2img: Optional[np.ndarray] = None,
+    img2txt=None,
+) -> Dict[str, float]:
+    """Asymmetric variant — the Q-Former's ``compute_sim_matrix`` produces
+    SEPARATE ITM-refined i2t and t2i matrices (blip2.py:116-229), ranked
+    independently like the reference's ``_report_metrics``."""
     n_img, n_txt = sim_i2t.shape
     if txt2img is None:
         txt2img = np.arange(n_txt)
@@ -39,7 +51,6 @@ def score_retrieval(
         best = min(int(np.where(order == t)[0][0]) for t in img2txt[i])
         tr_ranks[i] = best
     # image retrieval (text query)
-    sim_t2i = sim_i2t.T
     ir_ranks = np.zeros(n_txt)
     for j in range(n_txt):
         order = np.argsort(-sim_t2i[j])

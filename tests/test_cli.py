@@ -161,6 +161,7 @@ def test_cli_llama_host_stream_orchestrated(tmp_path):
     ("blip1", "retrieval"),
     ("blip1", "nlvr"),
     ("blip1", "vqa"),
+    ("blip2_qformer", "retrieval"),
 ])
 def test_cli_evaluate_model_task_smokes(tmp_path, model, task):
     """Every reference eval surface has a runnable CLI path: the UPop/BLIP
