@@ -186,7 +186,11 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         mesh = _eval_mesh(args)
         params = _replicate(mesh, params)
         # one shared prompt, unpadded (reference blip2_opt caption prompt)
-        prompt_ids, _ = tok(["a photo of"], max_length=4, add_eos=False)
+        # pad=False: generate's prompt contract is UNPADDED — a padded
+        # prompt would condition decode step 0 on the PAD token
+        prompt_ids = np.asarray(
+            tok(["a photo of"], max_length=8, add_eos=False, pad=False)[0],
+            np.int32)
 
         def gen_fn(batch):
             n = len(batch["image"])
@@ -211,7 +215,6 @@ def _synthetic_eval(args) -> Dict[str, Any]:
 
     if args.model == "blip1" and args.task == "retrieval":
         from ecoflap_tpu.models import blip1
-        from ecoflap_tpu.tasks.retrieval import RetrievalTask
 
         cfg = (blip1.blip_base() if args.model_scale == "full"
                else blip1.tiny_config())
@@ -224,39 +227,48 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         itm_jit = jax.jit(lambda p, im, ids, m:
                           blip1.itm_logits(cfg, p, im, ids, m))
 
-        def sim_fn(dataset):
-            return np.asarray(sim_jit(params, dataset["image"],
-                                      dataset["text_ids"],
-                                      dataset["text_mask"]))
-
-        def rerank_fn(dataset, sim, topk):
-            # ITM re-rank of each image's top-k texts (retrieval.py ITM
-            # second stage): itm logit[1] replaces the ITC score
-            sim = sim.copy()
-            for i in range(sim.shape[0]):
-                ids = dataset["text_ids"][topk[i]]
-                m = dataset["text_mask"][topk[i]]
-                img = jnp.repeat(dataset["image"][i:i + 1], len(topk[i]),
-                                 axis=0)
-                lg = np.asarray(itm_jit(params, img, ids, m))
-                sim[i, topk[i]] = lg[:, 1] + sim[i, topk[i]]
-            return sim
-
         n = args.batch_size
         img = cfg.vit.img_size
-        ids, mask = tok([f"caption {i}" for i in range(n)], max_length=8)
-        dataset = {
-            "image": jnp.asarray(
-                rng.normal(size=(n, img, img, 3)), jnp.float32),
-            "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
-        }
-        task = RetrievalTask(sim_fn, rerank_fn=rerank_fn, k_test=min(8, n))
-        return runner.evaluate(task, dataset)
+        images = jnp.asarray(rng.normal(size=(n, img, img, 3)), jnp.float32)
+        t_ids, t_mask = tok([f"caption {i}" for i in range(n)], max_length=8)
+        t_ids, t_mask = jnp.asarray(t_ids), jnp.asarray(t_mask)
+        k = min(8, n)
+
+        # the reference's two-stage eval (blip_retrieval evaluation):
+        # ITM re-ranks each image's top-k texts AND each text's top-k
+        # images INDEPENDENTLY — never mix ITM-boosted logits with raw
+        # cosine sims inside one ranking
+        sim = np.asarray(sim_jit(params, images, t_ids, t_mask))
+        score_i2t = np.full_like(sim, -np.inf)
+        for i in range(n):
+            topk = np.argsort(-sim[i])[:k]
+            lg = np.asarray(itm_jit(
+                params, jnp.repeat(images[i:i + 1], k, axis=0),
+                t_ids[topk], t_mask[topk]))
+            score_i2t[i, topk] = lg[:, 1] + sim[i, topk]
+        score_t2i = np.full_like(sim.T, -np.inf)
+        for j in range(n):
+            topk = np.argsort(-sim[:, j])[:k]
+            lg = np.asarray(itm_jit(
+                params, images[topk],
+                jnp.repeat(t_ids[j:j + 1], k, axis=0),
+                jnp.repeat(t_mask[j:j + 1], k, axis=0)))
+            score_t2i[j, topk] = lg[:, 1] + sim[topk, j]
+
+        from ecoflap_tpu.tasks.retrieval import score_retrieval_pair
+
+        metrics = score_retrieval_pair(score_i2t, score_t2i)
+        runner.log_metrics(metrics)
+        return metrics
 
     if args.model == "blip2_qformer" and args.task == "retrieval":
         from ecoflap_tpu.models import blip2_qformer as q1
         from ecoflap_tpu.tasks.retrieval import score_retrieval_pair
 
+        if args.model_scale != "tiny":
+            raise SystemExit("blip2_qformer retrieval: only --model_scale "
+                             "tiny is configured (stage-1 tower over "
+                             "pre-extracted ViT features)")
         cfg = q1.tiny_config()
         params = q1.init_params(cfg, jax.random.PRNGKey(args.seed))
         tok = HashTokenizer(vocab_size=cfg.vocab_size)
@@ -351,16 +363,17 @@ def _synthetic_eval(args) -> Dict[str, Any]:
                else blip1.tiny_config())
         params = _init_params(blip1.init_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
-        eos = cfg.text.sep_token_id % cfg.text.vocab_size
         gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
                              num_beams=args.num_beams,
                              min_length=5,  # blip_caption generate defaults
                              length_penalty=args.length_penalty,
-                             eos_token_id=eos,
+                             eos_token_id=cfg.text.sep_token_id,
                              pad_token_id=cfg.text.pad_token_id)
         mesh = _eval_mesh(args)
         params = _replicate(mesh, params)
-        prompt_ids, _ = tok(["a picture of"], max_length=4, add_eos=False)
+        prompt_ids = np.asarray(
+            tok(["a picture of"], max_length=8, add_eos=False, pad=False)[0],
+            np.int32)  # pad=False: unpadded-prompt contract (see blip2_opt)
 
         def gen_fn(batch):
             n = len(batch["image"])

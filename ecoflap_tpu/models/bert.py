@@ -79,8 +79,11 @@ class BertConfig:
 
 
 def tiny_config(**kw) -> BertConfig:
+    # sep within the tiny vocab: the real [SEP]=102 would be an OOB EOS
+    # (silently-dropped scatter + unreachable stop) at vocab 64
     defaults = dict(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
-                    intermediate_size=64, max_position=32, encoder_width=32)
+                    intermediate_size=64, max_position=32, encoder_width=32,
+                    sep_token_id=5)
     defaults.update(kw)
     return BertConfig(**defaults)
 

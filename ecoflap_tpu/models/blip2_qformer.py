@@ -178,9 +178,17 @@ def compute_sim_matrix(cfg: Blip2QformerConfig, params: PyTree, image_embeds,
     then ITM re-scores each image's top-k text candidates (and symmetric for
     texts). Returns (score_i2t, score_t2i) with ITM-refined scores on the
     top-k and -inf elsewhere, like the reference's score_matrix fill."""
+    import functools
+
     import numpy as np
 
-    sim = itc_sim_matrix(cfg, params, image_embeds, ids, mask)  # (N, M)
+    # ONE jitted ITM program reused across the host loops: each eager
+    # multimodal_forward is hundreds of per-op dispatches — seconds of pure
+    # dispatch per eval through a remote-device tunnel
+    itm_jit = jax.jit(functools.partial(itm_score, cfg))
+
+    sim = jax.jit(functools.partial(itc_sim_matrix, cfg))(
+        params, image_embeds, ids, mask)  # (N, M)
     sim_np = np.asarray(sim)
     n, m = sim_np.shape
     k = min(k_test, m)
@@ -188,17 +196,17 @@ def compute_sim_matrix(cfg: Blip2QformerConfig, params: PyTree, image_embeds,
     score_i2t = np.full((n, m), -np.inf, np.float32)
     for i in range(n):
         topk = np.argsort(-sim_np[i])[:k]
-        scores = itm_score(cfg, params,
-                           jnp.repeat(image_embeds[i:i + 1], k, axis=0),
-                           ids[topk], mask[topk])
+        scores = itm_jit(params,
+                         jnp.repeat(image_embeds[i:i + 1], k, axis=0),
+                         ids[topk], mask[topk])
         score_i2t[i, topk] = np.asarray(scores) + sim_np[i, topk]
 
     kt = min(k_test, n)
     score_t2i = np.full((m, n), -np.inf, np.float32)
     for j in range(m):
         topk = np.argsort(-sim_np[:, j])[:kt]
-        scores = itm_score(cfg, params, image_embeds[topk],
-                           jnp.repeat(ids[j:j + 1], kt, axis=0),
-                           jnp.repeat(mask[j:j + 1], kt, axis=0))
+        scores = itm_jit(params, image_embeds[topk],
+                         jnp.repeat(ids[j:j + 1], kt, axis=0),
+                         jnp.repeat(mask[j:j + 1], kt, axis=0))
         score_t2i[j, topk] = np.asarray(scores) + sim_np[topk, j]
     return score_i2t, score_t2i

@@ -129,7 +129,7 @@ def test_blip1_generate_beam1_equals_greedy():
     img = rng.normal(size=(2, cfg.vit.img_size, cfg.vit.img_size, 3))
     ids = rng.integers(6, cfg.text.vocab_size, size=(2, 3))
     gen = GenerateConfig(max_new_tokens=5, num_beams=1, min_length=1,
-                         eos_token_id=cfg.text.sep_token_id % cfg.text.vocab_size,
+                         eos_token_id=cfg.text.sep_token_id,
                          pad_token_id=cfg.text.pad_token_id)
     greedy = np.asarray(blip1.generate(
         cfg, params, jnp.asarray(img, jnp.float32),

@@ -41,7 +41,7 @@ def _ours_generate(cfg, params, ids, gen, use_beam):
     return np.asarray(opt.generate_from_embeds(
         cfg, params, embeds[:, :-1], mask,
         jnp.asarray(ids[:, -1], jnp.int32), gen, use_beam,
-        pos0=t - 1, len_offset=t))
+        pos0=t - 1, len_offset=t - 1))
 
 
 def _canon(seqs, eos, pad):
@@ -145,3 +145,53 @@ def test_blip2_opt_generate_beam5_runs():
         cfg, params, jnp.asarray(img, jnp.float32),
         jnp.asarray(ids, jnp.int32), jnp.asarray(np.ones_like(ids), jnp.int32))
     assert np.asarray(out).shape == (2, 30)
+
+
+def test_opt_hf_parity_eos_competitive_min_length():
+    """Pin the min_length prompt-offset (len_offset = T-1): with an
+    EOS-boosted twin the EOS token reaches the beam frontier exactly at the
+    min_length boundary, where an off-by-one diverges from HF (the random
+    twins above never surface EOS there)."""
+    from transformers import OPTConfig as HFOPTConfig
+    from transformers import OPTForCausalLM
+
+    hf_cfg = HFOPTConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, ffn_dim=48, max_position_embeddings=64,
+        do_layer_norm_before=True, dropout=0.0, activation_function="relu",
+        word_embed_proj_dim=32, pad_token_id=1, bos_token_id=2,
+        eos_token_id=2,
+    )
+    for seed in range(4):
+        torch.manual_seed(seed)
+        hf = OPTForCausalLM(hf_cfg).eval()
+        with torch.no_grad():  # boost EOS so it competes at the boundary
+            hf.model.decoder.embed_tokens.weight[2] *= 3.0
+        from ecoflap_tpu.utils.checkpoint import convert_opt
+
+        cfg = opt.tiny_config(d_ff=48)
+        params = convert_opt(
+            {k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+        rng = np.random.default_rng(seed)
+        B, T, S = 3, 5, 6
+        ids = rng.integers(3, cfg.vocab_size, size=(B, T))
+        for min_extra in (1, 3):
+            min_length = T + min_extra
+            gen = GenerateConfig(max_new_tokens=S, num_beams=3,
+                                 min_length=min_length, length_penalty=1.0,
+                                 eos_token_id=2, pad_token_id=1)
+            with torch.no_grad():
+                out = hf.generate(
+                    input_ids=torch.tensor(ids),
+                    attention_mask=torch.ones(B, T, dtype=torch.long),
+                    do_sample=False, num_beams=3, max_new_tokens=S,
+                    min_length=min_length, length_penalty=1.0,
+                    early_stopping=False, eos_token_id=2, pad_token_id=1,
+                ).numpy()[:, T:]
+            if out.shape[1] < S:
+                out = np.pad(out, [(0, 0), (0, S - out.shape[1])],
+                             constant_values=1)
+            ours = _ours_generate(cfg, params, ids, gen, use_beam=True)
+            np.testing.assert_array_equal(
+                _canon(ours, 2, 1), _canon(out, 2, 1),
+                err_msg=f"seed={seed} min_extra={min_extra}")
