@@ -241,8 +241,6 @@ def _stream_prune_stack(
                 new = set_leaf(new, path, full.at[i].set(w2.T.astype(full.dtype)))
             return new, (zeros, numel)
 
-        prune_block = jax.jit(_prune_block_impl, donate_argnums=(0,))
-
         def _prune_leaf_impl(full, stat, n_seq, ratio, i):
             """One linear's sweep — its own small program. Keeps per-program
             workspace at one sweep's temps: the monolithic per-block program

@@ -123,11 +123,19 @@ class TwoStagePruner:
 
     def _coarse_data(self):
         """First ``num_data_first_stage`` samples of the calibration batch
-        (reference: separate count-limited loader, runner_base.py:645-693)."""
-        n = self.num_data_first_stage
+        (reference: separate count-limited loader, runner_base.py:645-693).
+
+        The microbatch count must DIVIDE the sliced sample count (the
+        chunked losses reshape to (num_mb, -1)); requests that don't line
+        up are rounded down to whole microbatches (and clamped to the
+        available samples), like a drop-last loader."""
+        total = _leading_dim(self.data)
+        bs = max(1, total // self.num_microbatches)
+        n = min(self.num_data_first_stage, total)
+        num_mb = max(1, n // bs)
+        n = num_mb * bs
         data = jax.tree_util.tree_map(lambda x: x[:n], self.data)
-        bs = _leading_dim(self.data) // self.num_microbatches
-        return data, max(1, n // bs)
+        return data, num_mb
 
     def get_sparsity(
         self, original_sparsity: float, sparsity_ratio_granularity: Optional[str]
@@ -142,7 +150,12 @@ class TwoStagePruner:
         mapping = self.adapter.group_mapping(sparsity_ratio_granularity)
         data, num_mb = self._coarse_data()
         plans = None
-        if self.adapter.build_mezo_plans is not None:
+        # suffix plans are a MeZO-only fast path: building them for Grad*/
+        # Real* methods costs full prefix forwards (multi-minute remote
+        # compiles) and pins each stack's activation cache on device for
+        # the whole coarse stage, for nothing
+        if (self.adapter.build_mezo_plans is not None
+                and "MEZO" in self.score_method.upper()):
             plans = self.adapter.build_mezo_plans(
                 self.adapter.params, data, num_chunks=self._eval_chunks(data) or num_mb
             )
@@ -173,11 +186,20 @@ class TwoStagePruner:
         )
 
     def _eval_chunks(self, data: Any) -> Optional[int]:
-        """Memory-chunk count from eval_chunk_size (None = per-microbatch)."""
+        """Memory-chunk count from eval_chunk_size (None = per-microbatch).
+
+        Chunks must DIVIDE the batch (chunked_prepare asserts it) and the
+        actual chunk size must not EXCEED the requested cap (it bounds
+        activation memory): pick the smallest divisor of n with
+        n/chunks <= eval_chunk_size."""
         if self.eval_chunk_size is None:
             return None
         n = _leading_dim(data)
-        return max(1, n // max(self.eval_chunk_size, 1))
+        want = max(1, -(-n // max(self.eval_chunk_size, 1)))  # ceil
+        for c in range(want, n + 1):
+            if n % c == 0:
+                return c
+        return n
 
     # -- fine stage --------------------------------------------------------
     def _prune_stack(self, stack, params, ratios):
@@ -322,9 +344,16 @@ class TwoStagePruner:
         """Global zero-fraction over prunable weights. Prefers the counters
         measured IN-program during the fine stage (a post-prune counting pass
         allocates against a possibly exhausted device budget); falls back to
-        jitted whole-leaf reductions."""
+        jitted whole-leaf reductions.
+
+        The counter fast path only applies when EVERY stack was pruned
+        in-process — a partial run's counters cover a different weight
+        population than the global fallback (e.g. --stacks subsets), which
+        would silently change the metric's denominator."""
         counters = getattr(self, "_counters", None)
-        if counters and counters.get("total"):
+        all_pruned = all(self._spec_for_stack(s.name) is not None
+                         for s in self.adapter.stacks)
+        if counters and counters.get("total") and all_pruned:
             return counters["zeros"] / counters["total"]
         from ecoflap_tpu.core.pytree import get_leaf
 
@@ -399,19 +428,27 @@ class GlobalPruner:
         self.noise_mode = noise_mode
         self.verbose = verbose
 
+    def _score_data(self):
+        """First ``num_samples`` of the calibration batch, rounded down to
+        whole microbatches (the reference's num_samples-limited global
+        scoring loader) — previously the kwarg was stored but scoring always
+        consumed the full batch."""
+        total = _leading_dim(self.data)
+        bs = max(1, total // self.num_microbatches)
+        num_mb = max(1, min(self.num_samples, total) // bs)
+        data = jax.tree_util.tree_map(lambda x: x[: num_mb * bs], self.data)
+        return data, num_mb
+
     def _importance(self, params, targets):
-        batches = [
-            jax.tree_util.tree_map(
-                lambda x: x.reshape(self.num_microbatches, -1, *x.shape[1:])[b],
-                self.data,
-            )
-            for b in range(self.num_microbatches)
-        ]
         if self.score == "mag":
             return {t.name: jnp.abs(t.get(params).astype(jnp.float32)) for t in targets}
+        data, num_mb = self._score_data()
         if self.score == "gradmagabs":
+            from ecoflap_tpu.pruning.sparsity import _split_batches
+
             return first_order_importance(
-                self.adapter.loss_fn, params, batches, targets, "GradMagAbs"
+                self.adapter.loss_fn, params, _split_batches(data, num_mb),
+                targets, "GradMagAbs"
             )
         if self.score == "mezo":
             # Scalar per tensor — masks then keep/drop whole tensors, exactly
@@ -420,8 +457,8 @@ class GlobalPruner:
             scores = mezo_leaf_scores(
                 self.adapter.loss_fn,
                 params,
-                self.data,
-                self.num_microbatches,
+                data,
+                num_mb,
                 targets,
                 eps=self.noise_eps,
                 num_noise=self.num_noise,
