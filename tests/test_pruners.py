@@ -190,3 +190,38 @@ def test_two_stage_pruner_host_stream_end_to_end():
     for a, b in zip(jax.tree_util.tree_leaves(ref_params),
                     jax.tree_util.tree_leaves(hs_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_coarse_data_and_eval_chunks_divisibility(setup):
+    """Non-dividing num_data_first_stage / eval_chunk values must round to
+    safe counts instead of crashing the chunked-loss reshapes: microbatches
+    divide the sliced samples, chunk size never exceeds the requested cap,
+    and oversized sample requests clamp to the batch."""
+    adapter, batch = setup  # 32 samples
+    pruner = load_pruner(
+        "t5_wanda_pruner", adapter, batch, num_microbatches=4,
+        cfg={"prune_spec": "4-0.5-1.0-1.0", "verbose": False,
+             "sparsity_ratio_granularity": "block",
+             "score_method": "MEZO-GradOnly_sum",
+             # 13 is not a multiple of the microbatch size 8; 5 divides
+             # nothing interesting either
+             "num_data_first_stage": 13, "eval_chunk_size": 5},
+    )
+    data, num_mb = pruner._coarse_data()
+    n = jax.tree_util.tree_leaves(data)[0].shape[0]
+    assert n % num_mb == 0 and n <= 13
+    chunks = pruner._eval_chunks(data)
+    assert n % chunks == 0
+    assert n // chunks <= 5  # cap respected
+    params, sd = pruner.prune()  # end-to-end: no reshape/assert crashes
+    assert 0.3 < pruner.check_sparsity() < 0.7
+
+    # oversized request clamps to the available batch
+    pruner2 = load_pruner(
+        "t5_wanda_pruner", adapter, batch, num_microbatches=4,
+        cfg={"prune_spec": "4-0.5-1.0-1.0", "verbose": False,
+             "num_data_first_stage": 999},
+    )
+    data2, num_mb2 = pruner2._coarse_data()
+    assert jax.tree_util.tree_leaves(data2)[0].shape[0] == 32
+    assert num_mb2 == 4
