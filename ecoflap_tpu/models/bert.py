@@ -142,10 +142,9 @@ def init_params(cfg: BertConfig, key: jax.Array, dtype=jnp.float32) -> PyTree:
     }
 
 
-def _proj(p, x, i=None):
-    k = p["kernel"] if i is None else p["kernel"]
-    b = p["bias"]
-    return (jnp.dot(x, k, preferred_element_type=jnp.float32) + b).astype(x.dtype)
+def _proj(p, x):
+    return (jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+            + p["bias"]).astype(x.dtype)
 
 
 def _bert_attn(cfg, ap, x, kv, bias, stats, prefix, collect):
@@ -388,9 +387,11 @@ def generate_with_encoder(
                                gen.max_new_tokens)
         step = make_bert_step_fn(cfg, params, t - 1, gen.max_new_tokens)
         return beam_generate(step, cache, b, gen, tok0=last,
-                             len_offset=t - 1)
+                             len_offset=t - 1,
+                             prompt_tokens=expand_for_beams(
+                                 prompt_ids, gen.num_beams))
     cache = init_gen_cache(cfg, params, prefix, mask, enc, None,
                            gen.max_new_tokens)
     step = make_bert_step_fn(cfg, params, t - 1, gen.max_new_tokens)
     return greedy_generate(step, cache, b, gen, tok0=last,
-                           len_offset=t - 1)
+                           len_offset=t - 1, prompt_tokens=prompt_ids)

@@ -309,8 +309,10 @@ def retrieval_sim_matrix(cfg: Blip1Config, params: PyTree, images, texts_ids,
                          texts_mask) -> jax.Array:
     """(N_img, N_txt) ITC cosine similarity (first-stage retrieval scores;
     ITM re-ranks the top-k via tasks.retrieval.rerank_fn)."""
-    iv, _ = itc_features(cfg, params, images, texts_ids[: images.shape[0]],
-                         texts_mask[: images.shape[0]])
+    img = encode_image(cfg, params, images)[:, 0]
+    iv = jnp.dot(img, params["vision_proj"]["kernel"],
+                 preferred_element_type=jnp.float32) + params["vision_proj"]["bias"]
+    iv = iv / jnp.linalg.norm(iv, axis=-1, keepdims=True)
     enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False,
                                      "add_cross_attention": False})
     hidden = bert_mod.forward(enc_cfg, params["text_decoder"], texts_ids,

@@ -193,7 +193,9 @@ def make_adapter(cfg: Blip2Config, params: PyTree) -> ModelAdapter:
         enc_out = t5_mod.encode_embeds(cfg.t5, p["t5_model"], x, mask)
         labels = batch["labels"]
         dec_in = t5_mod.shift_right(cfg.t5, labels)
-        dec_mask = (labels != -100).astype(jnp.int32)
+        # all-ones: match per_sample_loss / HF decoder_attention_mask=None
+        # (see t5.make_decoder_stack.prepare_inputs)
+        dec_mask = jnp.ones_like(dec_in)
         xd = p["t5_model"]["shared"][dec_in]
         self_bias, cross_bias = t5_mod.decoder_biases(
             cfg.t5, p["t5_model"], dec_mask, mask, xd.shape[1]

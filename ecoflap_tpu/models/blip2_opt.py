@@ -136,7 +136,7 @@ def _generate_jit(cfg, params, images, prompt_ids, prompt_mask, gen, use_beam):
     return opt_mod.generate_from_embeds(
         cfg.opt, params["opt_model"],
         x[:, :-1], mask[:, :-1], prompt_ids[:, -1], gen, use_beam,
-        pos0=t - 1, len_offset=t - 1)
+        pos0=t - 1, len_offset=t - 1, prompt_tokens=prompt_ids)
 
 
 def per_sample_loss(cfg: Blip2OptConfig, params: PyTree, batch: Any) -> jax.Array:

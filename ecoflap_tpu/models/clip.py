@@ -14,8 +14,10 @@ Towers:
   (EVA-CLIP-g.json: 40 layers, width 1408, head 1024).
 
 Losses:
-* ``contrastive_loss`` — symmetric InfoNCE (CoOp/trainers/zsclip.py:73-93),
-  per-sample so the MeZO scorer can microbatch it.
+* ``contrastive_loss`` — symmetric InfoNCE (CoOp/trainers/zsclip.py:73-93).
+  Per-sample VALUES depend on the whole batch (in-batch negatives), so the
+  adapter sets ``chunk_safe=False``: MeZO groups per microbatch (reference-
+  consistent) but never sub-chunks the loss eval.
 * ``zero_shot_ce_loss`` — CE of image features against a prompt-ensemble
   classifier, the LAVIS ``loss_vision`` (compression/pruners/utils.py:37-57,
   un-scaling the x100 predict logits).
@@ -434,4 +436,8 @@ def make_adapter(
     return ModelAdapter(
         name="eva_clip" if cfg.eva_visual is not None else "clip",
         params=params, loss_fn=loss_fn, stacks=stacks, model_prefixes=prefixes,
+        # InfoNCE's per-sample values depend on the whole batch (in-batch
+        # negatives) — loss sub-chunking would shrink each sample's negative
+        # set; zero-shot CE is per-sample independent and chunk-safe
+        chunk_safe=classifier is not None,
     )

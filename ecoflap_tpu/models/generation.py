@@ -69,7 +69,8 @@ class GenerateConfig:
 
 def greedy_generate(
     step_fn: StepFn, cache: PyTree, batch_size: int, gen: GenerateConfig,
-    tok0: Optional[jax.Array] = None, len_offset: int = 0
+    tok0: Optional[jax.Array] = None, len_offset: int = 0,
+    prompt_tokens: Optional[jax.Array] = None,
 ) -> jax.Array:
     """(B, max_new_tokens) greedy tokens; pads after EOS (HF ``_sample``:
     processors on raw logits, finished rows keep feeding pad).
@@ -92,7 +93,8 @@ def greedy_generate(
         logits, cache = step_fn(tok, pos, cache)
         if gen.repetition_penalty != 1.0:
             logits = _apply_repetition_penalty(
-                logits, seqs, pos, gen
+                logits, seqs, pos, gen,
+                seen0=_prompt_seen(prompt_tokens, logits.shape[-1]),
             )
         logits = _mask_min_length(logits, pos + len_offset, gen)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -128,6 +130,7 @@ def beam_generate(
     gen: GenerateConfig,
     tok0: Optional[jax.Array] = None,
     len_offset: int = 0,
+    prompt_tokens: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Token-identical port of HF transformers' vectorized ``_beam_search``
     (``early_stopping=False``, ``do_sample=False``). ``cache`` must already be
@@ -169,7 +172,8 @@ def beam_generate(
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if gen.repetition_penalty != 1.0:
             logp = _apply_repetition_penalty(
-                logp, run_seqs.reshape(flat, S), pos, gen
+                logp, run_seqs.reshape(flat, S), pos, gen,
+                seen0=_prompt_seen(prompt_tokens, logp.shape[-1]),
             )
         logp = _mask_min_length(logp, pos + len_offset, gen)
         vocab = logp.shape[-1]
@@ -233,18 +237,35 @@ def beam_generate(
 
 def _apply_repetition_penalty(
     scores: jax.Array, seqs: jax.Array, pos: jax.Array, gen: GenerateConfig
+, seen0: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """CTRL-style penalty over the full input_ids: decoder_start plus tokens
+    """CTRL-style penalty over the full input_ids: prompt plus tokens
     generated so far (positions < pos). HF RepetitionPenaltyLogitsProcessor:
-    score/penalty if positive else score*penalty."""
+    score/penalty if positive else score*penalty.
+
+    ``seen0`` (B, V bool) marks the PROMPT tokens for decoder-only prefix
+    models (HF penalizes the full input_ids, which includes the prompt but
+    never a synthetic bos); when None — the T5 path — decoder_start is the
+    only prompt token and is marked via ``gen.bos_token_id``."""
     penalty = gen.repetition_penalty
     vocab = scores.shape[-1]
     valid = jnp.arange(seqs.shape[1])[None, :] < pos
     onehot = jax.nn.one_hot(seqs, vocab, dtype=jnp.bool_) & valid[..., None]
     seen = jnp.any(onehot, axis=1)
-    seen = seen.at[:, gen.bos_token_id].set(True)  # decoder_start in input_ids
+    if seen0 is None:
+        seen = seen.at[:, gen.bos_token_id].set(True)  # decoder_start
+    else:
+        seen = seen | seen0
     penalized = jnp.where(scores < 0, scores * penalty, scores / penalty)
     return jnp.where(seen, penalized, scores)
+
+
+def _prompt_seen(prompt_tokens: Optional[jax.Array], vocab: int):
+    """(B, T) prompt ids -> (B, V) bool seen mask (None passthrough)."""
+    if prompt_tokens is None:
+        return None
+    return jnp.any(jax.nn.one_hot(prompt_tokens, vocab, dtype=jnp.bool_),
+                   axis=1)
 
 
 def expand_for_beams(tree: PyTree, num_beams: int) -> PyTree:

@@ -310,6 +310,7 @@ def generate_from_embeds(
     use_beam: bool = True,
     pos0: Optional[int] = None,
     len_offset: int = 0,
+    prompt_tokens: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Generate from a position-embedded prefix (EXCLUDING the last prompt
     token, which is ``last_tok``). ``len_offset`` = prompt token count - 1
@@ -329,13 +330,17 @@ def generate_from_embeds(
         prefix_embeds = expand_for_beams(prefix_embeds, gen.num_beams)
         prefix_mask = expand_for_beams(prefix_mask, gen.num_beams)
         last_tok = expand_for_beams(last_tok, gen.num_beams)
+        if prompt_tokens is not None:
+            prompt_tokens = expand_for_beams(prompt_tokens, gen.num_beams)
         cache = init_gen_cache(cfg, params, prefix_embeds, prefix_mask,
                                gen.max_new_tokens)
         step = make_opt_step_fn(cfg, params, p, pos0, gen.max_new_tokens)
         return beam_generate(step, cache, b, gen, tok0=last_tok,
-                             len_offset=len_offset)
+                             len_offset=len_offset,
+                             prompt_tokens=prompt_tokens)
     cache = init_gen_cache(cfg, params, prefix_embeds, prefix_mask,
                            gen.max_new_tokens)
     step = make_opt_step_fn(cfg, params, p, pos0, gen.max_new_tokens)
     return greedy_generate(step, cache, b, gen, tok0=last_tok,
-                           len_offset=len_offset)
+                           len_offset=len_offset,
+                           prompt_tokens=prompt_tokens)

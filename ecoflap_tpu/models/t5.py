@@ -155,7 +155,7 @@ def _ln(L, d, dtype):
 
 
 def init_params(cfg: T5Config, key: jax.Array, dtype=jnp.float32) -> PyTree:
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 9)
     d, Le, Ld = cfg.d_model, cfg.num_layers, cfg.num_decoder_layers
     return {
         "shared": (jax.random.normal(ks[0], (cfg.vocab_size, d), jnp.float32)).astype(dtype),
@@ -181,7 +181,9 @@ def init_params(cfg: T5Config, key: jax.Array, dtype=jnp.float32) -> PyTree:
             },
             "final_ln": {"scale": jnp.ones((d,), dtype)},
         },
-        "lm_head": {"kernel": (jax.random.normal(ks[0], (d, cfg.vocab_size), jnp.float32) * d**-0.5).astype(dtype)},
+        # own key: flan-t5 is untied (module docstring) — reusing shared's
+        # key made lm_head the identical random stream reshaped
+        "lm_head": {"kernel": (jax.random.normal(ks[8], (d, cfg.vocab_size), jnp.float32) * d**-0.5).astype(dtype)},
     }
 
 
@@ -255,10 +257,11 @@ def t5_attention(
     k = jnp.dot(kv, ap["k"]["kernel"], preferred_element_type=jnp.float32).astype(x.dtype)
     v = jnp.dot(kv, ap["v"]["kernel"], preferred_element_type=jnp.float32).astype(x.dtype)
     qh, kh, vh = _heads(q, cfg.num_heads), _heads(k, cfg.num_heads), _heads(v, cfg.num_heads)
-    score_dtype = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    # scores accumulate in the activation dtype (bf16 scores for bf16
+    # activations — matches the reference's autocast matmuls)
     scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
-                        preferred_element_type=score_dtype)
-    scores = scores + bias.astype(score_dtype)
+                        preferred_element_type=x.dtype)
+    scores = scores + bias.astype(scores.dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     o = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
     b, h, s, dh = o.shape
@@ -513,7 +516,11 @@ def make_decoder_stack(cfg: T5Config, prefix: str = "t5_model",
         enc_out = encode(cfg, sub, batch[bk["input_ids"]], batch[bk["attn_mask"]])
         labels = batch[bk["labels"]]
         dec_in = shift_right(cfg, labels)
-        dec_mask = (labels != -100).astype(jnp.int32)
+        # all-ones, matching the loss path (decode's decoder_mask=None) and
+        # HF's decoder_attention_mask=None: a (labels != -100) key mask is
+        # misaligned with shift_right(labels) by one and diverges from the
+        # activations the reference's hooks capture
+        dec_mask = jnp.ones_like(dec_in)
         x = sub["shared"][dec_in]
         self_bias, cross_bias = decoder_biases(
             cfg, sub, dec_mask, batch[bk["attn_mask"]], x.shape[1]

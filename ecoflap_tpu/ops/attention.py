@@ -91,16 +91,17 @@ def _causal_bias(sq: int, sk: int, dtype) -> jax.Array:
 
 def _naive(qh, kh, vh, sm_scale, bias, causal):
     """Bit-identical to models/layers.py:attention on the same inputs."""
-    score_dtype = jnp.float32 if qh.dtype == jnp.float32 else qh.dtype
+    # scores accumulate in the query dtype (the expression is what
+    # models/layers.py:attention does — kept bit-identical)
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", qh * sm_scale, kh,
-        preferred_element_type=score_dtype,
+        preferred_element_type=qh.dtype,
     )
     if causal:
         scores = scores + _causal_bias(
-            qh.shape[2], kh.shape[2], score_dtype)
+            qh.shape[2], kh.shape[2], scores.dtype)
     if bias is not None:
-        scores = scores + bias.astype(score_dtype)
+        scores = scores + bias.astype(scores.dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(vh.dtype)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32

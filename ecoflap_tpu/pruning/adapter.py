@@ -100,6 +100,12 @@ class ModelAdapter:
     # optional (params, data, num_chunks=...) -> List[LossPlan] MeZO fast
     # paths; num_chunks streams any precompute at microbatch memory scale
     build_mezo_plans: Optional[Callable[..., List["LossPlan"]]] = None
+    # False for losses whose per-sample values depend on the WHOLE batch
+    # (in-batch negatives, e.g. CLIP InfoNCE): sub-chunking the loss eval
+    # would silently shrink each sample's negative set. Microbatch-level
+    # grouping stays reference-consistent (the reference also scores per
+    # loader batch); only the memory sub-chunking is disabled.
+    chunk_safe: bool = True
 
     def targets(self) -> List[WeightTarget]:
         """All prunable weights as functional views, reference-named."""

@@ -181,7 +181,11 @@ class TwoStagePruner:
                 if s.blocks_path is not None
             ],
             loss_plans=plans,
-            eval_chunks=self._eval_chunks(data),
+            # batch-coupled losses (adapter.chunk_safe=False) must not be
+            # sub-chunked: per-sample values depend on the whole microbatch
+            eval_chunks=(self._eval_chunks(data)
+                         if getattr(self.adapter, "chunk_safe", True)
+                         else None),
             verbose=self.verbose,
         )
 

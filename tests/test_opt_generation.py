@@ -195,3 +195,37 @@ def test_opt_hf_parity_eos_competitive_min_length():
             np.testing.assert_array_equal(
                 _canon(ours, 2, 1), _canon(out, 2, 1),
                 err_msg=f"seed={seed} min_extra={min_extra}")
+
+
+@pytest.mark.parametrize("num_beams", [1, 3])
+def test_opt_hf_parity_repetition_penalty(num_beams):
+    """rp=1.5 on the decoder-only path: HF penalizes over the FULL input_ids
+    (prompt included, no synthetic bos) — the prompt_tokens seen-set."""
+    hf, cfg, params = _hf_twin(seed=7)
+    rng = np.random.default_rng(7)
+    B, T, S = 3, 5, 8
+    ids = rng.integers(3, cfg.vocab_size, size=(B, T))
+    gen = GenerateConfig(max_new_tokens=S, num_beams=num_beams, min_length=1,
+                         repetition_penalty=1.5,
+                         eos_token_id=cfg.eos_token_id,
+                         pad_token_id=cfg.pad_token_id)
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.ones(B, T, dtype=torch.long),
+            do_sample=False, num_beams=num_beams, max_new_tokens=S,
+            min_length=1, repetition_penalty=1.5, early_stopping=False,
+            eos_token_id=cfg.eos_token_id, pad_token_id=cfg.pad_token_id,
+        ).numpy()[:, T:]
+    if out.shape[1] < S:
+        out = np.pad(out, [(0, 0), (0, S - out.shape[1])],
+                     constant_values=cfg.pad_token_id)
+    embeds = opt._embed(cfg, params, jnp.asarray(ids, jnp.int32), None)
+    ours = np.asarray(opt.generate_from_embeds(
+        cfg, params, embeds[:, :-1], jnp.ones((B, T - 1), jnp.int32),
+        jnp.asarray(ids[:, -1], jnp.int32), gen, num_beams > 1,
+        pos0=T - 1, len_offset=T - 1,
+        prompt_tokens=jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_array_equal(
+        _canon(ours, cfg.eos_token_id, cfg.pad_token_id),
+        _canon(out, cfg.eos_token_id, cfg.pad_token_id))

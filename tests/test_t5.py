@@ -123,9 +123,10 @@ def test_wanda_prune_t5(tiny):
 
 def test_sparsegpt_prune_t5_reduces_loss_vs_random(tiny):
     """SparseGPT @0.5 should hurt the calibration loss less than pruning the
-    same fraction at random — a behavioural sanity check of the OBS sweep."""
+    same fraction at random — a behavioural sanity check of the OBS sweep.
+    (32 samples: at 8 the margin was luck-of-the-seed on this tiny model.)"""
     cfg, params = tiny
-    b = batch(8)
+    b = batch(32)
 
     adapter = t5.make_adapter(cfg, params)
     dense_loss = float(jnp.mean(adapter.loss_fn(params, b)))
