@@ -249,7 +249,37 @@ def multi_method_run(methods) -> None:
     print(json.dumps(out))
 
 
+def _device_probe(timeout_s: int = 900) -> None:
+    """Fail FAST (rc=3) when the device backend is wedged instead of hanging
+    the whole bench: the axon tunnel has been observed to go down for hours
+    (first ops hang, later fast-fail UNAVAILABLE — ROUND3_NOTES.md). The
+    probe runs a trivial op in a subprocess so a hang can be bounded without
+    touching this process's backend state."""
+    import subprocess
+
+    if os.environ.get("ECOFLAP_BENCH_PLATFORM") == "cpu":
+        return
+    if "ECOFLAP_BENCH_METHOD" in os.environ:
+        return  # multi-method child: the parent already probed
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jnp.ones((8,8)).sum()))")
+    try:
+        res = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(
+            f"bench: device probe HUNG for {timeout_s}s — tunnel wedged; "
+            "aborting instead of hanging the bench\n")
+        raise SystemExit(3)
+    if res.returncode != 0:
+        sys.stderr.write("bench: device probe failed (backend unavailable):\n"
+                         + res.stderr[-2000:] + "\n")
+        raise SystemExit(3)
+
+
 def main() -> None:
+    _device_probe()
     methods_env = os.environ.get("ECOFLAP_BENCH_METHODS")
     if (methods_env is None
             and "ECOFLAP_BENCH_METHOD" not in os.environ
