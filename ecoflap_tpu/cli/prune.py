@@ -110,9 +110,42 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a JAX backend (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; this flag uses jax.config, which it "
                         "honors)")
+    p.add_argument("--mesh", default=None,
+                   help="run the WHOLE pruning pipeline sharded over a "
+                        "(dp, tp) device mesh, e.g. 'dp=8' or 'dp=4,tp=2' "
+                        "(the v5e-8 north-star path; the reference's "
+                        "user-facing analogue is the DDP plumbing in "
+                        "runner_base.py:92-98). Params get Megatron-style "
+                        "tp shardings (parallel/sharding.py), the "
+                        "calibration batch is dp-sharded, XLA inserts the "
+                        "ICI collectives. With --platform cpu the device "
+                        "count is provisioned virtually "
+                        "(xla_force_host_platform_device_count)")
     p.add_argument("--options", nargs="*", default=None)
     return p
 
+
+
+def _setup_mesh(args):
+    """(mesh or None) from --mesh. Must run before any backend init when
+    virtual CPU devices are needed: the device count comes from XLA_FLAGS."""
+    if not args.mesh:
+        return None
+    import os
+    import re
+
+    kv = {k: int(v) for k, v in
+          (part.split("=") for part in args.mesh.split(","))}
+    if args.platform == "cpu":
+        need = max(kv.get("dp", 1), 1) * max(kv.get("tp", 1), 1)
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                       os.environ.get("XLA_FLAGS", ""))
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count={need}"
+        ).strip()
+    from ecoflap_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(dp=kv.get("dp"), tp=kv.get("tp", 1))
 
 
 def _jit_init(init_fn, cfg, key, dtype):
@@ -401,6 +434,7 @@ def main(argv=None) -> Dict[str, Any]:
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    mesh = _setup_mesh(args)
     if args.sparsity_type != "unstructured" and ":" in args.sparsity_type:
         args.prune_n, args.prune_m = map(int, args.sparsity_type.split(":"))
     if args.per_stack_process:
@@ -421,6 +455,11 @@ def main(argv=None) -> Dict[str, Any]:
 
         adapter.params = ocp.StandardCheckpointer().restore(
             os.path.abspath(args.load_pruned), shapes)
+    if mesh is not None:
+        from ecoflap_tpu.parallel.sharding import shard_batch, shard_params
+
+        adapter.params = shard_params(adapter.params, mesh)
+        batch = shard_batch(batch, mesh)
     if args.stacks:
         # explicit None for non-kept stacks: a missing entry would fall back
         # to --prune_spec via _spec_for_stack and prune everything anyway
@@ -460,6 +499,9 @@ def main(argv=None) -> Dict[str, Any]:
             key=jax.random.PRNGKey(args.seed),
         )
 
+    import contextlib
+
+    mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
     t0 = time.time()
     pruner = load_pruner(args.pruning_method, adapter, batch, num_mb, pruner_cfg)
     if args.coarse_only:
@@ -467,7 +509,8 @@ def main(argv=None) -> Dict[str, Any]:
 
         specs = [s for s in (stack_specs or {}).values() if s]
         ratio = parse_prune_spec(specs[0] if specs else args.prune_spec).sparsity
-        sdict = pruner.get_sparsity(ratio, args.sparsity_ratio_granularity)
+        with mesh_ctx:
+            sdict = pruner.get_sparsity(ratio, args.sparsity_ratio_granularity)
         result = {
             "job_id": job_id,
             "wall_clock_s": round(time.time() - t0, 1),
@@ -475,7 +518,8 @@ def main(argv=None) -> Dict[str, Any]:
         }
         print(json.dumps(result))
         return result
-    params, sparsity_dict = pruner.prune()
+    with mesh_ctx:
+        params, sparsity_dict = pruner.prune()
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     wall = time.time() - t0
 
