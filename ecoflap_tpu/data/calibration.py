@@ -100,22 +100,84 @@ class FileTokenizer(_TokenizerBase):
 
     The reference tokenizes with the real FlanT5 sentencepiece vocab
     (blip2_t5.py:96 ``t5_tokenizer``); this is the zero-egress equivalent:
-    point ``--tokenizer_path`` at any local tokenizer.json. T5 id
-    conventions expected: pad=0, eos=1 (``</s>``).
+    point ``--tokenizer_path`` at any local tokenizer.json.
+
+    pad/eos resolution order (non-T5 vocabs like BERT's [PAD]/[SEP] resolve
+    correctly instead of silently inheriting T5's 0/1): explicit
+    ``pad_id``/``eos_id`` kwargs > the file's own ``padding``/
+    ``post_processor`` config > conventional token strings > a LOUDLY
+    warned T5-convention fallback (pad=0, eos=1).
     """
 
-    def __init__(self, path: str):
+    _PAD_STRINGS = ("<pad>", "[PAD]", "<|pad|>")
+    _EOS_STRINGS = ("</s>", "[SEP]", "<|endoftext|>", "<eos>", "<|eot_id|>")
+
+    def __init__(self, path: str, pad_id: Optional[int] = None,
+                 eos_id: Optional[int] = None):
         from tokenizers import Tokenizer  # baked into the image
 
         self._tok = Tokenizer.from_file(path)
         self.path = path
-        self.pad_token_id = self._tok.token_to_id("<pad>") or 0
-        eos = self._tok.token_to_id("</s>")
-        self.eos_token_id = 1 if eos is None else eos
         self.vocab_size = self._tok.get_vocab_size()
+        cfg_pad, cfg_eos = self._ids_from_file_config(path)
+        self.pad_token_id = self._resolve(
+            pad_id, cfg_pad, self._PAD_STRINGS, default=0, kind="pad")
+        self.eos_token_id = self._resolve(
+            eos_id, cfg_eos, self._EOS_STRINGS, default=1, kind="eos")
+
+    def _ids_from_file_config(self, path: str):
+        """(pad_id, eos_id) declared by the tokenizer.json itself: the
+        ``padding`` section names the pad token, and a TemplateProcessing
+        post-processor's single-sequence template ends with the token the
+        tokenizer appends (the eos)."""
+        import json as _json
+
+        pad = eos = None
+        try:
+            with open(path) as f:
+                spec = _json.load(f)
+        except Exception:
+            return None, None
+        padding = spec.get("padding") or {}
+        if isinstance(padding.get("pad_id"), int):
+            pad = padding["pad_id"]
+        elif isinstance(padding.get("pad_token"), str):
+            pad = self._tok.token_to_id(padding["pad_token"])
+        post = spec.get("post_processor") or {}
+        if post.get("type") == "TemplateProcessing":
+            single = post.get("single") or []
+            last = single[-1] if single else {}
+            tok_name = (last.get("SpecialToken") or {}).get("id")
+            if tok_name is not None:
+                toks = post.get("special_tokens") or {}
+                ids = (toks.get(tok_name) or {}).get("ids") or []
+                eos = ids[0] if ids else self._tok.token_to_id(tok_name)
+        return pad, eos
+
+    def _resolve(self, explicit, from_config, strings, default, kind):
+        if explicit is not None:
+            return explicit
+        if from_config is not None:
+            return from_config
+        for s in strings:
+            tid = self._tok.token_to_id(s)
+            if tid is not None:
+                return tid
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "FileTokenizer(%s): could not determine the %s id from the "
+            "file's padding/post-processor config or conventional token "
+            "strings %s — GUESSING %s=%d (T5 convention). Pass "
+            "pad_id/eos_id explicitly if this vocab uses different ids; "
+            "wrong ids corrupt attention masks and EOS stopping.",
+            self.path, kind, strings, kind, default)
+        return default
 
     def _raw_ids(self, text: str):
-        return self._tok.encode(text).ids
+        # add_special_tokens=False: the file's post-processor may append its
+        # own eos; _TokenizerBase.encode appends ours exactly once.
+        return self._tok.encode(text, add_special_tokens=False).ids
 
     def decode(self, ids: Sequence[int]) -> str:
         keep = [int(i) for i in ids

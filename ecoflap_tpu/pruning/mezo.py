@@ -264,8 +264,14 @@ def mezo_leaf_scores(
     # tunnel handles concurrent compiles). Plan 0 is skipped (its compile is
     # on the critical path immediately). The warm result is discarded; a
     # race with an in-place perturbation of a donated leaf can only fail the
-    # warm eval itself, which is why the thread swallows errors.
-    if len(plan_pairs) > 1 and os.environ.get("ECOFLAP_WARM_PLANS", "1") == "1":
+    # warm eval itself, which is why the thread swallows errors. That
+    # fail-only-the-warm property leans on PJRT usage-hold semantics that
+    # were only validated on the axon TPU backend, so the warm defaults ON
+    # for tpu and OFF elsewhere (ECOFLAP_WARM_PLANS=0/1 overrides either way).
+    warm_env = os.environ.get("ECOFLAP_WARM_PLANS")
+    warm_on = (warm_env == "1" if warm_env is not None
+               else jax.default_backend() == "tpu")
+    if len(plan_pairs) > 1 and warm_on:
         import threading
 
         def _warm(fn, pdata):

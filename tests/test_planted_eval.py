@@ -180,3 +180,43 @@ def test_tokenizer_roundtrip_and_loud_fallback(caplog):
         fb = load_t5_tokenizer(name="definitely/not-cached-anywhere")
     assert isinstance(fb, HashTokenizer)
     assert any("FALLING BACK" in r.message for r in caplog.records)
+
+
+def test_file_tokenizer_non_t5_special_ids(tmp_path, caplog):
+    """ADVICE r3: pad/eos ids must come from the tokenizer.json's own
+    padding/post-processor config (BERT-style [PAD]/[SEP] vocabs), not
+    T5-convention guesses; explicit overrides win; pure guesses WARN."""
+    import logging
+
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.processors import TemplateProcessing
+
+    vocab = {"[CLS]": 0, "hello": 1, "world": 2, "[PAD]": 3, "[SEP]": 4}
+    tok = Tokenizer(WordLevel(vocab, unk_token="[PAD]"))
+    tok.pre_tokenizer = Whitespace()
+    tok.post_processor = TemplateProcessing(
+        single="$A [SEP]", special_tokens=[("[SEP]", 4)])
+    tok.enable_padding(pad_id=3, pad_token="[PAD]")
+    path = str(tmp_path / "bert_style.json")
+    tok.save(path)
+
+    ft = FileTokenizer(path)
+    assert (ft.pad_token_id, ft.eos_token_id) == (3, 4)
+    ids, mask = ft(["hello world"], max_length=6)
+    assert list(ids[0]) == [1, 2, 4, 3, 3, 3]
+    assert list(mask[0]) == [1, 1, 1, 0, 0, 0]
+
+    assert FileTokenizer(path, pad_id=9, eos_id=7).pad_token_id == 9
+    assert FileTokenizer(path, eos_id=7).eos_token_id == 7
+
+    # no padding section, no post-processor, no conventional strings:
+    # both ids are guessed and the guess must be loud
+    bare = Tokenizer(WordLevel({"a": 0, "b": 1}, unk_token="a"))
+    bare_path = str(tmp_path / "bare.json")
+    bare.save(bare_path)
+    with caplog.at_level(logging.WARNING):
+        bt = FileTokenizer(bare_path)
+    assert (bt.pad_token_id, bt.eos_token_id) == (0, 1)
+    assert sum("GUESSING" in r.message for r in caplog.records) == 2
