@@ -36,6 +36,12 @@ def build_parser():
                    help="orbax dir (runner.save_checkpoint) or torch .pth")
     p.add_argument("--ann", default=None, help="annotation json / data path")
     p.add_argument("--vis_root", default="")
+    p.add_argument("--prompt_templates", default="full",
+                   choices=("full", "subset", "simple"),
+                   help="zero-shot classifier prompt ensemble: 'full' = the "
+                        "reference's 80-entry openai_imagenet_template table "
+                        "(clip_models/model.py:1175), 'subset' = the 7-entry "
+                        "fast subset (~0.1pt drift, 11x cheaper)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--eval_batches", type=int, default=2,
@@ -528,7 +534,7 @@ def _real_eval(args) -> Dict[str, Any]:
 
     if args.model in ("clip", "eva_clip") and args.task == "classification":
         from ecoflap_tpu.data.prompts import (
-            IMAGENET_TEMPLATES_SUBSET,
+            TEMPLATE_SETS,
             build_prompts,
             load_classnames,
         )
@@ -548,7 +554,8 @@ def _real_eval(args) -> Dict[str, Any]:
         ds = registry.get("builder", "imagenet")(
             {"vis_root": args.vis_root}, vis_processor=vis)
         tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
-        prompts = build_prompts(ds.classnames, IMAGENET_TEMPLATES_SUBSET)
+        prompts = build_prompts(ds.classnames,
+                                TEMPLATE_SETS[args.prompt_templates])
         ids, _ = tok(prompts, max_length=cfg.text.context_length)
         classifier = clip_mod.zero_shot_classifier(
             cfg, params, jnp.asarray(ids), len(ds.classnames))

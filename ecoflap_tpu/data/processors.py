@@ -63,15 +63,30 @@ class ImageEvalProcessor:
 
 
 class ImageTrainProcessor:
-    """RandomResizedCrop + horizontal flip + normalize."""
+    """RandomResizedCrop + horizontal flip [+ RandAugment] + normalize.
+
+    ``blip_image_train`` (reference blip_processors.py:104-141) inserts
+    ``RandomAugment(2, 5)`` over its 10-op list between the flip and the
+    tensor conversion; ``blip2_image_train`` (:196-) is crop+flip only.
+    """
 
     def __init__(self, image_size: int = 224, mean=BLIP_MEAN, std=BLIP_STD,
                  min_scale: float = 0.5, max_scale: float = 1.0,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, use_randaugment: bool = False,
+                 randaugment_n: int = 2, randaugment_m: int = 5):
         self.image_size = image_size
         self.mean, self.std = mean, std
         self.min_scale, self.max_scale = min_scale, max_scale
         self.rng = np.random.default_rng(seed)
+        self.randaugment = None
+        if use_randaugment:
+            from ecoflap_tpu.data.randaugment import (
+                BLIP_TRAIN_AUGS,
+                RandomAugment,
+            )
+
+            self.randaugment = RandomAugment(
+                randaugment_n, randaugment_m, BLIP_TRAIN_AUGS, rng=self.rng)
 
     def __call__(self, image) -> np.ndarray:
         from PIL import Image
@@ -92,7 +107,10 @@ class ImageTrainProcessor:
         img = img.resize((self.image_size, self.image_size), Image.BICUBIC)
         if self.rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        return _normalize(np.asarray(img), self.mean, self.std)
+        arr = np.asarray(img)
+        if self.randaugment is not None:
+            arr = self.randaugment(arr)
+        return _normalize(arr, self.mean, self.std)
 
 
 class CaptionProcessor:
@@ -127,8 +145,17 @@ class QuestionProcessor:
         return question
 
 
+class BlipImageTrainProcessor(ImageTrainProcessor):
+    """blip_image_train: RandAugment ON by default (the reference's
+    train/UPop-fine-tuning transform)."""
+
+    def __init__(self, *args, use_randaugment: bool = True, **kw):
+        super().__init__(*args, use_randaugment=use_randaugment, **kw)
+
+
 registry.register("processor", "blip_image_eval", ImageEvalProcessor, force=True)
-registry.register("processor", "blip_image_train", ImageTrainProcessor, force=True)
+registry.register("processor", "blip_image_train", BlipImageTrainProcessor,
+                  force=True)
 registry.register("processor", "blip2_image_train", ImageTrainProcessor, force=True)
 registry.register("processor", "clip_image_eval", ImageEvalProcessor, force=True)
 registry.register("processor", "blip_caption", CaptionProcessor, force=True)
