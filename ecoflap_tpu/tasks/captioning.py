@@ -1,28 +1,29 @@
-"""Captioning metrics — CIDEr-D and BLEU-4, pure Python.
+"""Captioning metrics — the full COCOEvalCap schema, pure Python.
 
 The reference scores captions with pycocoevalcap against Karpathy ground
-truth and reports ``agg_metrics = CIDEr + Bleu_4``
-(LAVIS/lavis/tasks/captioning.py:83-142). These are the standard published
-formulas (CIDEr-D: Vedantam et al. 2015; BLEU: Papineni et al. 2002),
-reimplemented here without the pycocoevalcap dependency:
+truth and returns every ``coco_val.eval`` field plus ``agg_metrics = CIDEr
++ Bleu_4`` (LAVIS/lavis/tasks/captioning.py:83-142): Bleu_1..Bleu_4,
+METEOR, ROUGE_L, CIDEr, SPICE. Reimplemented here without the
+pycocoevalcap dependency:
 
 * CIDEr-D: n-gram (1..4) TF-IDF vectors, per-n cosine similarity clipped by
   candidate counts, Gaussian length penalty exp(-(lc-lr)^2/(2·6^2)), ×10
   scale, averaged over references and n.
-* BLEU-4: corpus-level modified n-gram precision with brevity penalty
-  (closest-reference length).
+* BLEU 1-4: corpus-level modified n-gram precision with brevity penalty
+  (closest-reference length, pycocoevalcap fudge constants).
+* ROUGE-L: LCS F-beta (beta=1.2), max precision/recall over refs.
 
 Tokenization: lowercase + punctuation strip (the PTBTokenizer effect on
 typical captions).
 
-SPICE is deliberately NOT implemented (documented exclusion): the reference
-reports it alongside CIDEr/BLEU (captioning.py:83-142) via pycocoevalcap's
-Java SPICE jar, which requires the Stanford scene-graph parser — a JVM
-dependency with no faithful pure-Python equivalent (an approximation would
-produce numbers that LOOK comparable to published SPICE but aren't). The
-reference's own model selection never uses it: ``agg_metrics = CIDEr +
-Bleu_4`` only. If pycocoevalcap is available at runtime, ``spice_or_none``
-below calls it; otherwise the metric is reported as absent, never faked.
+METEOR and SPICE are deliberately NOT reimplemented (documented exclusion):
+both are Java jars in pycocoevalcap (meteor-1.5 with its paraphrase tables;
+SPICE with the Stanford scene-graph parser) with no faithful pure-Python
+equivalent — an approximation would produce numbers that LOOK comparable to
+published values but aren't. The reference's own model selection never uses
+them: ``agg_metrics = CIDEr + Bleu_4`` only. Schema parity is kept
+field-for-field: both keys are always present, valued from pycocoevalcap
+when it exists at runtime, else null with a reason in ``metric_notes``.
 """
 
 from __future__ import annotations
@@ -120,6 +121,13 @@ def bleu4(
     fudge terms, closest-reference length (ties broken toward the SHORTER
     reference — the tuple-min ``min((abs(l-testlen), l))`` form), and
     ratio-form brevity penalty."""
+    return bleu_all(candidates, references)[3]
+
+
+def bleu_all(
+    candidates: Sequence[str], references: Sequence[Sequence[str]]
+) -> List[float]:
+    """[Bleu_1, Bleu_2, Bleu_3, Bleu_4] — COCOEvalCap reports all four."""
     tiny, small = 1e-15, 1e-9  # pycocoevalcap's exact fudge constants
     p_num = [0] * 4
     p_den = [0] * 4
@@ -150,22 +158,77 @@ def bleu4(
     if ratio < 1:
         bp = math.exp(1 - 1.0 / ratio)
         bleus = [b * bp for b in bleus]
-    return bleus[3]
+    return bleus
+
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    """Longest common subsequence length (pycocoevalcap rouge.py my_lcs)."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(
+    candidates: Sequence[str], references: Sequence[Sequence[str]],
+    beta: float = 1.2,
+) -> float:
+    """Corpus ROUGE-L, algorithm-exact to pycocoevalcap's ``rouge.py``
+    (part of the COCOEvalCap.eval schema the reference logs): per image,
+    LCS precision/recall vs EACH ref, max over refs of each separately,
+    F-beta (beta=1.2) combination, mean over images."""
+    scores = []
+    for cand, refs in zip(candidates, references):
+        c = tokenize(cand)
+        prec, rec = [], []
+        for r in refs:
+            rt = tokenize(r)
+            lcs = _lcs_len(c, rt)
+            prec.append(lcs / len(c) if c else 0.0)
+            rec.append(lcs / len(rt) if rt else 0.0)
+        pm, rm = (max(prec) if prec else 0.0), (max(rec) if rec else 0.0)
+        if pm != 0 and rm != 0:
+            scores.append(((1 + beta**2) * pm * rm) / (rm + beta**2 * pm))
+        else:
+            scores.append(0.0)
+    return sum(scores) / max(len(scores), 1)
 
 
 def score_captions(
     results: Iterable[Dict],
 ) -> Dict[str, float]:
-    """results: [{"caption": str, "gt_captions": [str]}] ->
-    {Bleu_4, CIDEr, agg_metrics} (captioning.py:128-142 convention)."""
+    """results: [{"caption": str, "gt_captions": [str]}] -> the reference's
+    full COCOEvalCap.eval schema (captioning.py:83-142 returns every
+    ``coco_val.eval`` field plus ``agg_metrics = CIDEr + Bleu_4``):
+    Bleu_1..Bleu_4, METEOR, ROUGE_L, CIDEr, SPICE, agg_metrics. The two
+    Java-jar metrics (METEOR's meteor-1.5 paraphrase tables, SPICE's
+    Stanford scene-graph parser) are null with a reason in ``metric_notes``
+    when their runtimes are absent — never approximated (a lookalike number
+    would invite false comparisons with published values); downstream
+    result-JSON diffs see the column either way."""
     cands = [r["caption"] for r in results]
     refs = [r["gt_captions"] for r in results]
-    b4 = bleu4(cands, refs)
+    b1, b2, b3, b4 = bleu_all(cands, refs)
     cd = cider_d(cands, refs)
-    out = {"Bleu_4": b4, "CIDEr": cd, "agg_metrics": cd + b4}
-    spice = spice_or_none(cands, refs)
-    if spice is not None:
-        out["SPICE"] = spice
+    out = {
+        "Bleu_1": b1, "Bleu_2": b2, "Bleu_3": b3, "Bleu_4": b4,
+        "METEOR": None, "ROUGE_L": rouge_l(cands, refs), "CIDEr": cd,
+        "SPICE": spice_or_none(cands, refs), "agg_metrics": cd + b4,
+    }
+    notes = {}
+    if out["METEOR"] is None:
+        notes["METEOR"] = ("meteor-1.5 Java jar (+paraphrase tables) not "
+                           "available; not approximated")
+    if out["SPICE"] is None:
+        notes["SPICE"] = ("pycocoevalcap SPICE (JVM + Stanford scene-graph "
+                          "parser) not available; not approximated")
+    if notes:
+        out["metric_notes"] = notes
     return out
 
 

@@ -238,3 +238,65 @@ def test_bleu4_matches_independent_oracle(seed):
     ours = captioning.bleu4(cands, refs)
     oracle = _oracle_bleu(cands, refs)
     assert ours == pytest.approx(oracle, rel=1e-10)
+
+
+def _oracle_rouge_l(cands, refs_list, beta=1.2):
+    """Independent transcription of pycocoevalcap rouge.py (calc_score +
+    my_lcs): per image max-over-refs LCS precision/recall, F-beta, mean."""
+
+    def lcs(a, b):
+        table = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                table[i][j] = (table[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                               else max(table[i - 1][j], table[i][j - 1]))
+        return table[-1][-1]
+
+    total = 0.0
+    for cand, refs in zip(cands, refs_list):
+        c = captioning.tokenize(cand)
+        prec = [lcs(c, captioning.tokenize(r)) / len(c) for r in refs]
+        rec = [lcs(c, captioning.tokenize(r)) /
+               len(captioning.tokenize(r)) for r in refs]
+        pm, rm = max(prec), max(rec)
+        total += (((1 + beta ** 2) * pm * rm) / (rm + beta ** 2 * pm)
+                  if pm and rm else 0.0)
+    return total / len(cands)
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22])
+def test_rouge_l_matches_independent_oracle(seed):
+    cands, refs = _random_corpus(seed)
+    ours = captioning.rouge_l(cands, refs)
+    assert ours == pytest.approx(_oracle_rouge_l(cands, refs), rel=1e-12)
+
+
+def test_rouge_l_closed_form():
+    # identical caption: LCS = len, P = R = F = 1
+    assert captioning.rouge_l(["a b c"], [["a b c"]]) == pytest.approx(1.0)
+    # disjoint: 0
+    assert captioning.rouge_l(["a b"], [["x y"]]) == pytest.approx(0.0)
+    # candidate "a b", ref "a c b d": LCS=2, P=1, R=0.5, beta=1.2
+    beta2 = 1.2 ** 2
+    want = (1 + beta2) * 1.0 * 0.5 / (0.5 + beta2 * 1.0)
+    assert captioning.rouge_l(["a b"], [["a c b d"]]) == pytest.approx(want)
+
+
+def test_score_captions_full_cocoevalcap_schema():
+    """VERDICT r3 #7: field-for-field parity with coco_val.eval +
+    agg_metrics (captioning.py:83-142). Java-jar metrics present as null
+    with reasons, never approximated."""
+    out = captioning.score_captions(
+        [{"caption": "a dog runs", "gt_captions": ["a dog runs", "dog"]}])
+    want_keys = {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
+                 "ROUGE_L", "CIDEr", "SPICE", "agg_metrics"}
+    assert want_keys <= set(out)
+    assert out["agg_metrics"] == pytest.approx(out["CIDEr"] + out["Bleu_4"])
+    assert out["Bleu_1"] >= out["Bleu_2"] >= out["Bleu_3"] >= out["Bleu_4"]
+    assert out["ROUGE_L"] == pytest.approx(1.0)  # exact match vs first ref
+    for jar in ("METEOR", "SPICE"):
+        if out[jar] is None:
+            assert jar in out["metric_notes"]
+    import json as _json
+
+    _json.dumps(out)  # the evaluate.txt line must serialize
