@@ -447,6 +447,11 @@ def main() -> None:
             **common,
         )
     elif method == "first":
+        # streamed per-block backward default ON for the bench: replaces the
+        # one giant remat'd grad-of-scan per stack (the ViT partition's
+        # ~375 s remote compile was round 3's cold critical path) with three
+        # small programs per stack; sums equality tested in test_scores.py
+        os.environ.setdefault("ECOFLAP_STREAM_GRAD", "1")
         pruner = WandaPruner(
             adapter, batch,
             sparsity_ratio_granularity="block",
@@ -509,6 +514,8 @@ def main() -> None:
     }
     if method == "zeroth":
         out["noise_mode"] = os.environ.get("ECOFLAP_NOISE_MODE", "shared")
+    if method == "first":
+        out["stream_grad"] = os.environ.get("ECOFLAP_STREAM_GRAD", "0")
     counters = getattr(pruner, "_counters", None) or {}
     if stacks_env and counters:
         # stage mode: parent sums these for the end-to-end sparsity

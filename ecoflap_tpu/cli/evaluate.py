@@ -23,11 +23,18 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser(description="ECoFLaP-TPU evaluation")
-    p.add_argument("--model", required=True,
+    p.add_argument("--cfg-path", dest="cfg_path", default=None,
+                   help="project YAML (reference file-level API: "
+                        "model/datasets/run trees, lavis/projects layout); "
+                        "bare names resolve under configs/projects/. "
+                        "Explicit flags override the file")
+    p.add_argument("--options", nargs="*", default=None,
+                   help="dot-list overrides, e.g. run.batch_size_eval=16")
+    p.add_argument("--model", default=None,
                    choices=["blip2_t5", "blip2_opt", "blip2_qformer", "t5",
                             "eva_clip", "clip", "llama", "blip1"])
     p.add_argument("--model_scale", default="tiny", choices=["tiny", "full"])
-    p.add_argument("--task", required=True,
+    p.add_argument("--task", default=None,
                    choices=["vqa", "gqa", "captioning", "classification",
                             "retrieval", "nlvr", "mmlu", "wikitext_ppl"])
     p.add_argument("--tokenizer_path", default=None,
@@ -578,7 +585,16 @@ def _real_eval(args) -> Dict[str, Any]:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    import sys as _sys
+
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    from ecoflap_tpu.core.project import apply_cfg_path
+
+    apply_cfg_path(args, _sys.argv[1:] if argv is None else argv)
+    if not args.model or not args.task:
+        parser.error("--model and --task are required "
+                     "(directly or via --cfg-path)")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     from ecoflap_tpu.parallel.dist import init_distributed_mode

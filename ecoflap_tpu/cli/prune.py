@@ -30,7 +30,13 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="ECoFLaP-TPU pruning")
-    p.add_argument("--model", required=True,
+    p.add_argument("--cfg-path", dest="cfg_path", default=None,
+                   help="project YAML (reference file-level API; bare names "
+                        "resolve under configs/projects/). model/run trees "
+                        "map like the reference's Config; an optional "
+                        "prune: tree carries the flags below. Explicit "
+                        "flags override the file")
+    p.add_argument("--model", default=None,
                    choices=["blip2_t5", "t5", "eva_clip", "clip", "llama"])
     p.add_argument("--model_scale", default="tiny",
                    choices=["tiny", "small", "full"],
@@ -431,7 +437,15 @@ def main(argv=None) -> Dict[str, Any]:
     from ecoflap_tpu.pruning.loader import load_pruner
     from ecoflap_tpu.runners.runner import Runner, global_sparsity
 
-    args = build_parser().parse_args(argv)
+    import sys as _sys
+
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    from ecoflap_tpu.core.project import apply_cfg_path
+
+    apply_cfg_path(args, _sys.argv[1:] if argv is None else argv, prune=True)
+    if not args.model:
+        parser.error("--model is required (directly or via --cfg-path)")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     mesh = _setup_mesh(args)

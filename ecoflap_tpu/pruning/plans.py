@@ -101,11 +101,6 @@ class SuffixPlan:
         extra_data: Optional[Dict[str, Any]] = None,
         num_chunks: int = 1,
     ) -> None:
-        from ecoflap_tpu.pruning.engine import (
-            chunked_block_apply,
-            chunked_prepare,
-        )
-
         self.stack = stack
         self.finish_fn = finish_fn
         self._prefix = stack.name + "."
@@ -115,13 +110,47 @@ class SuffixPlan:
         keep = batch_keys if batch_keys is not None else list(batch.keys())
         self._base = {k: batch[k] for k in keep}
         self._base.update(extra_data or {})
-        x, cache = jax.jit(
-            lambda p, b: chunked_prepare(stack.prepare_inputs, p, b, num_chunks)
-        )(params, batch)
-        self._x = x
-        self._cache = cache
+        # LAZY device work: nothing touches the backend until the plan is
+        # actually used for MeZO scoring (first `.data`/`prepare` access).
+        # Construction is then free, which lets the streamed first-order
+        # backward (first_order.streamed_plan_grad_sums) reuse these objects
+        # as pure (stack, finish_fn, base-data) descriptors.
+        self._init_params = params
+        self._init_batch = batch
+        self._num_chunks = num_chunks
+        self._x = None
+        self._cache = None
+        self._advance = None
         self._block = 0
         self._data_cache: Optional[Dict[str, Any]] = None
+
+    @property
+    def base_data(self) -> Dict[str, Any]:
+        """Finish-fn data fields (full-batch leading dim) without the
+        rolling-cache keys — the streamed first-order path slices these per
+        microbatch."""
+        return dict(self._base)
+
+    def _ensure(self) -> None:
+        """Build the rolling prefix cache on first use."""
+        if self._x is not None:
+            return
+        from ecoflap_tpu.pruning.engine import (
+            chunked_block_apply,
+            chunked_prepare,
+        )
+
+        stack, num_chunks = self.stack, self._num_chunks
+        x, cache = jax.jit(
+            lambda p, b: chunked_prepare(stack.prepare_inputs, p, b,
+                                         num_chunks)
+        )(self._init_params, self._init_batch)
+        # drop the pristine-params reference: MeZO's donated in-place
+        # perturbation cycle invalidates those buffers later, and _ensure
+        # must only ever run before the first perturbation (plan_pairs setup)
+        self._init_params = self._init_batch = None
+        self._x = x
+        self._cache = cache
         # donate x: the pre-advance activations are dead afterwards (the
         # rolling cache would otherwise churn a stack's worth of activation
         # buffers against the device allocation budget). The advance streams
@@ -157,6 +186,7 @@ class SuffixPlan:
         allocations, and an LLM-scale coarse stage (OpenLLaMA-3B, 7 targets
         per block) died RESOURCE_EXHAUSTED after ~8 targets. Same-block
         calls must return the IDENTICAL pytree (bit-identical buffers)."""
+        self._ensure()
         if self._data_cache is None:
             self._data_cache = {
                 **self._base,
@@ -169,6 +199,7 @@ class SuffixPlan:
     def prepare(self, params: PyTree, name: str) -> Dict[str, Any]:
         """Advance the rolling cache to the target's block (using the
         UNPERTURBED params) and return the eval data."""
+        self._ensure()
         i = int(name[len(self._prefix):].split(".", 1)[0])
         if i < self._block:
             raise ValueError(

@@ -17,6 +17,7 @@ factories so config files and scripts keep working:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Union
 
@@ -150,12 +151,18 @@ class TwoStagePruner:
         mapping = self.adapter.group_mapping(sparsity_ratio_granularity)
         data, num_mb = self._coarse_data()
         plans = None
-        # suffix plans are a MeZO-only fast path: building them for Grad*/
-        # Real* methods costs full prefix forwards (multi-minute remote
-        # compiles) and pins each stack's activation cache on device for
-        # the whole coarse stage, for nothing
-        if (self.adapter.build_mezo_plans is not None
-                and "MEZO" in self.score_method.upper()):
+        # MEZO-*: suffix plans are the prefix-reuse fast path. Grad*: the
+        # SAME plan objects (now lazily constructed — no device work) carry
+        # the (stack, finish_fn) pairs that let first_order stream each
+        # stack's backward block-by-block instead of compiling one giant
+        # grad-of-scan per stack (ECOFLAP_STREAM_GRAD=1; the remat'd ViT
+        # backward's ~375 s remote compile was round 3's cold critical
+        # path). Real* methods still take the plain full-tree path.
+        method = self.score_method.upper()
+        want_plans = ("MEZO" in method or (
+            method.startswith("GRAD")
+            and os.environ.get("ECOFLAP_STREAM_GRAD", "0") == "1"))
+        if self.adapter.build_mezo_plans is not None and want_plans:
             plans = self.adapter.build_mezo_plans(
                 self.adapter.params, data, num_chunks=self._eval_chunks(data) or num_mb
             )

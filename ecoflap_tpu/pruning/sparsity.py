@@ -144,6 +144,7 @@ def compute_layer_sparsity(
         importance_sums = first_order_group_sums(
             loss_fn, params, batches, scored_targets, score_compute,
             partition_prefixes=partition_prefixes,
+            stream_plans=loss_plans,
             progress=_mk_progress(
                 verbose, on_progress,
                 lambda b, p, dt: f"grad batch {b} part {p} +{dt:.1f}s"),
