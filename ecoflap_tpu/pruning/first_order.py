@@ -19,6 +19,7 @@ reference's ``v.cpu()`` (layer_single_base_pruner.py:453-455).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -151,7 +152,10 @@ def streamed_plan_grad_sums(
         return jax.grad(
             lambda yy: jnp.mean(plan.finish_fn(p, yy, d)))(y)
 
-    @jax.jit
+    # donate the incoming cotangent: each call consumes the previous call's
+    # g_x, so L-per-batch fresh (B,N,D) buffers never pile onto the axon
+    # cumulative-allocation budget
+    @partial(jax.jit, donate_argnums=(3,))
     def block_vjp(bp, x, cache, g):
         def fwd(bp_, x_):
             return stack.block_forward(bp_, x_, cache, None)[0]
