@@ -210,8 +210,12 @@ def main(argv=None):
               f"Bleu_4 {m.get('Bleu_4', 0):.3f}")
     if not args.blip2_ckpt:
         print("  (random-init run: numbers are pipeline smoke only)")
+    # captioning carries the full COCOEvalCap schema: null Java-jar metrics
+    # (METEOR/SPICE) and the metric_notes dict ride through as-is
     print(json.dumps({"sparsity": round(sp, 4), "metrics": {
-        k: {mk: float(mv) for mk, mv in v.items()} for k, v in metrics.items()
+        k: {mk: (float(mv) if isinstance(mv, (int, float)) else mv)
+            for mk, mv in v.items()}
+        for k, v in metrics.items()
     }}))
     return metrics
 
