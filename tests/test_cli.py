@@ -246,6 +246,14 @@ def test_cfg_path_file_level_api(tmp_path):
                      "--output_dir", str(tmp_path)])
     assert np.isfinite(res["agg_metrics"])
 
+    # a SHIPPED yaml drives a run by bare name, downscaled via --options
+    res2 = eval_main(["--cfg-path", "blip2/eval/vqav2_zeroshot_flant5xl_eval.yaml",
+                      "--options", "model.model_scale=tiny",
+                      "run.batch_size_eval=2",
+                      "--synthetic", "--platform", "cpu",
+                      "--eval_batches", "1", "--output_dir", str(tmp_path)])
+    assert np.isfinite(res2["agg_metrics"])
+
     # prune CLI: full run configured by the file; explicit flag overrides
     from ecoflap_tpu.cli.prune import main as prune_main
 
