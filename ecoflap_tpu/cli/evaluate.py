@@ -59,12 +59,15 @@ def build_parser():
     p.add_argument("--length_penalty", type=float, default=-1.0)
     p.add_argument("--seqlen", type=int, default=2048)
     p.add_argument("--output_dir", default="output")
-    p.add_argument("--mesh", default="none", choices=["none", "dp"],
-                   help="'dp': data-parallel eval — batch leaves sharded "
-                        "over a dp mesh of all visible devices, params "
-                        "replicated; XLA partitions the jitted generate/"
-                        "predict programs (batch_size must be divisible by "
-                        "the device count)")
+    p.add_argument("--mesh", default="none",
+                   help="'none' | 'dp' | 'dp=N,tp=M'. 'dp': data-parallel "
+                        "eval — batch leaves sharded over a dp mesh of all "
+                        "visible devices, params replicated; XLA partitions "
+                        "the jitted generate/predict programs (batch_size "
+                        "must be divisible by the dp extent). tp>1 adds "
+                        "Megatron param sharding (parallel/sharding.py) for "
+                        "models whose replicated weights don't fit one "
+                        "chip's HBM")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--vocab_size", type=int, default=None,
@@ -74,18 +77,33 @@ def build_parser():
 
 
 def _eval_mesh(args):
-    """dp mesh for sharded evaluation (or None)."""
-    if getattr(args, "mesh", "none") == "none":
+    """(dp, tp) mesh for sharded evaluation (or None). ``--mesh dp`` = all
+    devices on the batch axis; ``--mesh dp=4,tp=2`` adds Megatron tensor
+    sharding of the params (3B+ models whose replicated weights don't fit
+    one chip's HBM)."""
+    spec = getattr(args, "mesh", "none")
+    if spec in (None, "none"):
         return None
     from ecoflap_tpu.parallel.mesh import make_mesh
 
-    return make_mesh(tp=1)
+    if spec == "dp":
+        return make_mesh(tp=1)
+    kv = {k: int(v) for k, v in
+          (part.split("=") for part in spec.split(","))}
+    return make_mesh(dp=kv.get("dp"), tp=kv.get("tp", 1))
 
 
 def _replicate(mesh, params):
-    """Replicate params over the eval mesh (no-op when mesh is None)."""
+    """Place params on the eval mesh: replicated on a pure-dp mesh,
+    Megatron-sharded (parallel/sharding.py rules) when tp > 1. The jitted
+    generate/predict programs consume the shardings; XLA inserts the tp
+    collectives inside the decode loop."""
     if mesh is None:
         return params
+    if mesh.shape.get("tp", 1) > 1:
+        from ecoflap_tpu.parallel.sharding import shard_params
+
+        return shard_params(params, mesh)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     return jax.device_put(params, NamedSharding(mesh, P()))

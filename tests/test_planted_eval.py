@@ -132,6 +132,20 @@ def test_planted_vqa_sharded_dp_mesh(planted_ckpt):
     ])
     assert metrics["agg_metrics"] == pytest.approx(50.0, abs=1e-9)
 
+    # dp=4,tp=2: params Megatron-sharded instead of replicated; the planted
+    # model's ~113-logit margins make the tp reduction order irrelevant, so
+    # the metric stays exactly closed-form
+    metrics_tp = run_cli([
+        "--model", "blip2_t5", "--task", "vqa", "--platform", "cpu",
+        "--checkpoint", planted_ckpt["ckpts"]["vqa"],
+        "--tokenizer_path", tiny_tokenizer_path(),
+        "--vocab_size", str(planted_ckpt["vocab"]),
+        "--ann", ann_path, "--vis_root", planted_ckpt["vis_root"],
+        "--batch_size", "8", "--num_beams", "5", "--mesh", "dp=4,tp=2",
+        "--output_dir", str(root / "out_tp"),
+    ])
+    assert metrics_tp["agg_metrics"] == pytest.approx(50.0, abs=1e-9)
+
 
 def test_planted_captioning_scores_exactly_5p5(planted_ckpt):
     root = planted_ckpt["root"]
