@@ -97,9 +97,14 @@ def make_fake_data(root: str, n: int = 8, img_px: int = 32):
 def main(argv=None):
     args = parse_args(argv)
     if args.fake:
-        args.platform = args.platform or "cpu"
-        args.scale = "tiny"
-        args.num_samples, args.batch_size, args.num_beams = 8, 4, 2
+        # default fake run = tiny CPU smoke; `--fake --scale full` keeps the
+        # XL model on the default backend — the on-device full-scale drill
+        # (synthetic weights, real .pth-import -> prune -> export ->
+        # re-import -> eval path; pair with tools/ckpt_drill.py --keep for
+        # a reference-format input checkpoint)
+        if args.scale != "full":
+            args.platform = args.platform or "cpu"
+            args.num_samples, args.batch_size, args.num_beams = 8, 4, 2
         tmp = tempfile.mkdtemp(prefix="ecoflap_parity_")
         args.vqa_ann, args.caption_ann, args.vis_root = make_fake_data(tmp)
 
@@ -158,24 +163,36 @@ def main(argv=None):
         sparsity_ratio_granularity="block", max_sparsity_per_layer=0.6,
         score_method="MEZO-GradOnly_sum", num_data_first_stage=args.num_samples,
         eval_chunk_size=32, verbose=False,
+        # the dense params are never reused after the prune; keeping them
+        # alive would hold two full copies on a 16 GB chip at XL
+        consume_params=True,
     )
     pruned, sparsity_dict = pruner.prune()
     sp = pruner.check_sparsity()
     runner.save_sparsity_dict(sparsity_dict)
     print(f"[parity] pruned: global sparsity {sp:.4f} +{time.time()-t0:.0f}s")
 
-    # 3. export -> .pth -> re-import, exactness drill
+    # 3. export -> .pth -> re-import, exactness drill. Re-import on host
+    # CPU and compare in numpy: at XL the chip must never hold two full
+    # copies (same pattern as tools/ckpt_drill.py).
     state = ck.export_blip2(pruned, cfg)
     pth = runner.save_pruned_torch(state, "parity_pruned")
-    back = ck.convert_blip2(ck.load_torch_checkpoint(pth), cfg, dtype=dtype)
-    fa, fb = flatten_named(pruned), flatten_named(back)
-    worst = 0.0
-    for k in fa:
-        err = float(jnp.max(jnp.abs(fa[k].astype(jnp.float32)
-                                    - fb[k].astype(jnp.float32))))
-        worst = max(worst, err)
-    assert worst == 0.0, f".pth round trip not exact: max abs err {worst}"
-    print(f"[parity] .pth round trip exact ({len(state)} tensors) -> {pth}")
+    host = {k: np.asarray(v) for k, v in flatten_named(pruned).items()}
+    del pruned, adapter, pruner, state
+    with jax.default_device(jax.devices("cpu")[0]):
+        fb = flatten_named(
+            ck.convert_blip2(ck.load_torch_checkpoint(pth), cfg, dtype=dtype))
+        bad = []
+        for k, a in host.items():
+            b = np.asarray(fb[k])
+            au = a.view(np.uint16) if str(a.dtype) == "bfloat16" else a
+            bu = b.view(np.uint16) if str(b.dtype) == "bfloat16" else b
+            if not np.array_equal(au, bu):
+                bad.append(k)
+    assert not bad, f".pth round trip not exact: {bad[:5]}"
+    n_tensors = len(fb)
+    del host, fb
+    print(f"[parity] .pth round trip exact ({n_tensors} leaves) -> {pth}")
 
     # 4. evaluate from the re-imported artifact via the evaluation CLI
     from ecoflap_tpu.cli import evaluate as eval_cli
