@@ -442,8 +442,12 @@ def main() -> None:
     if method in ("zeroth", "zeroth_pb"):
         if method == "zeroth_pb":
             # reference-exact sampling preset: per-microbatch noise draws,
-            # nd=32 coarse samples (the 5985.2 s reference variant)
-            os.environ.setdefault("ECOFLAP_NOISE_MODE", "per_batch")
+            # nd=32 coarse samples (the 5985.2 s reference variant). Hard
+            # ASSIGN: an inherited ECOFLAP_NOISE_MODE=shared (the zeroth
+            # preset's speed knob) must not silently turn the parity-mode
+            # row into shared noise while it scores against the per-batch
+            # baseline
+            os.environ["ECOFLAP_NOISE_MODE"] = "per_batch"
         pruner = WandaPruner(
             adapter, batch,
             sparsity_ratio_granularity="block",

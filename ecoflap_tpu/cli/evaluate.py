@@ -22,7 +22,10 @@ import numpy as np
 
 
 def build_parser():
-    p = argparse.ArgumentParser(description="ECoFLaP-TPU evaluation")
+    # allow_abbrev=False: see cli/prune.py — explicit-flag precedence for
+    # --cfg-path reads raw argv tokens
+    p = argparse.ArgumentParser(description="ECoFLaP-TPU evaluation",
+                                allow_abbrev=False)
     p.add_argument("--cfg-path", dest="cfg_path", default=None,
                    help="project YAML (reference file-level API: "
                         "model/datasets/run trees, lavis/projects layout); "
@@ -84,13 +87,9 @@ def _eval_mesh(args):
     spec = getattr(args, "mesh", "none")
     if spec in (None, "none"):
         return None
-    from ecoflap_tpu.parallel.mesh import make_mesh
+    from ecoflap_tpu.parallel.mesh import make_mesh, parse_mesh_spec
 
-    if spec == "dp":
-        return make_mesh(tp=1)
-    kv = {k: int(v) for k, v in
-          (part.split("=") for part in spec.split(","))}
-    return make_mesh(dp=kv.get("dp"), tp=kv.get("tp", 1))
+    return make_mesh(**parse_mesh_spec(spec))
 
 
 def _replicate(mesh, params):

@@ -29,7 +29,11 @@ import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="ECoFLaP-TPU pruning")
+    # allow_abbrev=False: --cfg-path precedence detection reads raw argv
+    # tokens (core/project.py:_explicit_flags); an abbreviated flag would
+    # not register as explicit and the YAML would override it
+    p = argparse.ArgumentParser(description="ECoFLaP-TPU pruning",
+                                allow_abbrev=False)
     p.add_argument("--cfg-path", dest="cfg_path", default=None,
                    help="project YAML (reference file-level API; bare names "
                         "resolve under configs/projects/). model/run trees "
@@ -135,23 +139,22 @@ def build_parser() -> argparse.ArgumentParser:
 def _setup_mesh(args):
     """(mesh or None) from --mesh. Must run before any backend init when
     virtual CPU devices are needed: the device count comes from XLA_FLAGS."""
-    if not args.mesh:
+    if not args.mesh or args.mesh == "none":
         return None
     import os
     import re
 
-    kv = {k: int(v) for k, v in
-          (part.split("=") for part in args.mesh.split(","))}
-    if args.platform == "cpu":
-        need = max(kv.get("dp", 1), 1) * max(kv.get("tp", 1), 1)
+    from ecoflap_tpu.parallel.mesh import make_mesh, parse_mesh_spec
+
+    kv = parse_mesh_spec(args.mesh)
+    if args.platform == "cpu" and kv["dp"] is not None:
+        need = kv["dp"] * kv["tp"]
         flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
                        os.environ.get("XLA_FLAGS", ""))
         os.environ["XLA_FLAGS"] = (
             f"{flags} --xla_force_host_platform_device_count={need}"
         ).strip()
-    from ecoflap_tpu.parallel.mesh import make_mesh
-
-    return make_mesh(dp=kv.get("dp"), tp=kv.get("tp", 1))
+    return make_mesh(**kv)
 
 
 def _jit_init(init_fn, cfg, key, dtype):
@@ -387,8 +390,12 @@ def _per_stack_orchestrate(args) -> Dict[str, Any]:
 
     base = [sys.executable, "-m", "ecoflap_tpu.cli.prune"]
     for k, v in vars(args).items():
+        # cfg_path/options are already merged into these args — re-sending
+        # them would double-apply (and --cfg_path is not a flag the child
+        # parser knows: the option string is --cfg-path)
         if k in ("per_stack_process", "stacks", "load_pruned", "coarse_only",
-                 "save_pruned", "sparsity_dict", "job_id", "options") or v in (None, False):
+                 "save_pruned", "sparsity_dict", "job_id", "options",
+                 "cfg_path") or v in (None, False):
             continue
         flag = f"--{k}"
         base += [flag] if v is True else [flag, str(v)]
@@ -448,11 +455,14 @@ def main(argv=None) -> Dict[str, Any]:
         parser.error("--model is required (directly or via --cfg-path)")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    mesh = _setup_mesh(args)
     if args.sparsity_type != "unstructured" and ":" in args.sparsity_type:
         args.prune_n, args.prune_m = map(int, args.sparsity_type.split(":"))
     if args.per_stack_process:
+        # before any backend init: the orchestrating parent must never
+        # attach the TPU (children do; two attached processes can wedge the
+        # axon tunnel) — --mesh is forwarded to each child
         return _per_stack_orchestrate(args)
+    mesh = _setup_mesh(args)
     job_id = args.job_id or (
         f"{args.pruning_method}_{args.prune_spec or 'none'}"
         f"_{args.score_method}_{args.sparsity_ratio_granularity}"

@@ -119,17 +119,25 @@ def apply_cfg_path(args, argv: Optional[Sequence[str]],
         if mapped is not None:
             args.task = mapped
 
-    # datasets: the first entry names the builder; build_info carries local
-    # paths (the reference comments them out of shipped YAMLs the same way —
-    # storage is machine-specific)
+    # datasets: the first entry's build_info carries local paths (the
+    # reference comments them out of shipped YAMLs the same way — storage is
+    # machine-specific). Each key maps to the first attr the CLI actually
+    # defines: the eval CLI's data flag is --ann, the prune CLI's is --calib
+    # (a jsonl/text calibration source) — a path that matched no attr would
+    # otherwise be DROPPED silently and the prune would run on synthetic
+    # calibration data while looking configured.
     ds_cfg: Dict[str, Any] = cfg.datasets_cfg or {}
     if ds_cfg:
-        name, spec = next(iter(ds_cfg.items()))
-        if hasattr(args, "dataset") and "dataset" not in explicit:
-            args.dataset = name
+        _, spec = next(iter(ds_cfg.items()))
         info = (spec or {}).get("build_info", {}) or {}
-        for key, attr in (("ann_path", "ann"), ("vis_root", "vis_root"),
-                          ("text_path", "ann"), ("jsonl_path", "ann")):
-            if key in info and hasattr(args, attr) and attr not in explicit:
+        path_map = (("ann_path", ("ann", "calib")),
+                    ("text_path", ("ann", "calib")),
+                    ("jsonl_path", ("ann", "calib")),
+                    ("vis_root", ("vis_root",)))
+        for key, attrs in path_map:
+            if key not in info:
+                continue
+            attr = next((a for a in attrs if hasattr(args, a)), None)
+            if attr is not None and attr not in explicit:
                 setattr(args, attr, info[key])
     return cfg

@@ -338,7 +338,12 @@ class VideoDataset(AnnotationDataset):
         if self.vis_processor is not None:
             frames = [self.vis_processor(f) for f in frames]
         else:
-            frames = [np.asarray(f, np.float32) / 255.0 for f in frames]
+            # uint8 frames normalize to [0,1]; float .npy sources are
+            # already scaled — dividing again would near-black the video
+            frames = [np.asarray(f, np.float32)
+                      / (255.0 if np.issubdtype(np.asarray(f).dtype,
+                                                np.integer) else 1.0)
+                      for f in frames]
         return np.stack(frames)
 
 

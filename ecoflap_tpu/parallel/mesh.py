@@ -46,6 +46,31 @@ def make_mesh(
     return Mesh(arr, ("dp", "tp"))
 
 
+def parse_mesh_spec(spec: str) -> dict:
+    """CLI mesh grammar shared by prune/evaluate: ``'dp'`` (all devices on
+    the batch axis) or ``'dp=N[,tp=M]'`` -> make_mesh kwargs, with parser
+    -grade errors instead of raw unpacking tracebacks."""
+    if spec == "dp":
+        return {"dp": None, "tp": 1}
+    kv = {}
+    for part in spec.split(","):
+        if "=" not in part:
+            raise ValueError(
+                f"bad --mesh spec {spec!r}: expected 'dp' or 'dp=N[,tp=M]'")
+        k, v = part.split("=", 1)
+        if k not in ("dp", "tp"):
+            raise ValueError(
+                f"bad --mesh axis {k!r} in {spec!r} (axes: dp, tp)")
+        try:
+            kv[k] = int(v)
+        except ValueError:
+            raise ValueError(
+                f"bad --mesh extent {v!r} for axis {k!r} in {spec!r}")
+    if not kv:
+        raise ValueError(f"empty --mesh spec {spec!r}")
+    return {"dp": kv.get("dp"), "tp": kv.get("tp", 1)}
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -375,19 +375,23 @@ def first_order_group_sums(
         nb = 1
         batches = batches[1:]
 
-    with remat_scans():
-        for bi, batch in enumerate(batches, start=nb):
-            for pi, (names, fn) in enumerate(part_fns):
-                if progress is not None:
-                    progress(bi, pi)
-                vals = np.asarray(fn(params, batch))  # one readback
-                for k, v in zip(names, vals):
-                    acc[k] = acc.get(k, 0.0) + float(v)
+    try:
+        with remat_scans():
+            for bi, batch in enumerate(batches, start=nb):
+                for pi, (names, fn) in enumerate(part_fns):
+                    if progress is not None:
+                        progress(bi, pi)
+                    vals = np.asarray(fn(params, batch))  # one readback
+                    for k, v in zip(names, vals):
+                        acc[k] = acc.get(k, 0.0) + float(v)
 
-    for fut in stream_futs:
-        acc.update(fut.result())  # already summed over all batches
-    if streamed:
-        stream_ex.shutdown()
+        for fut in stream_futs:
+            acc.update(fut.result())  # already summed over all batches
+    finally:
+        # a partition-path failure (e.g. RESOURCE_EXHAUSTED) must not leave
+        # streamed threads driving device work through the failing backend
+        if streamed:
+            stream_ex.shutdown(wait=False, cancel_futures=True)
     return {k: v / nb_total for k, v in acc.items()}
 
 

@@ -279,3 +279,63 @@ def test_cfg_path_file_level_api(tmp_path):
                        "--options", "prune.prune_spec=2-0.25-1.0-1.0",
                        "--output_dir", str(tmp_path / "p3")])
     assert abs(out3["prunable_sparsity"] - 0.75) < 0.02
+
+
+def test_mesh_spec_grammar_errors():
+    """Shared --mesh grammar: 'dp' and 'dp=N[,tp=M]' parse; typos raise
+    parser-grade ValueErrors, not unpacking tracebacks (review r4)."""
+    import pytest
+
+    from ecoflap_tpu.parallel.mesh import parse_mesh_spec
+
+    assert parse_mesh_spec("dp") == {"dp": None, "tp": 1}
+    assert parse_mesh_spec("dp=4,tp=2") == {"dp": 4, "tp": 2}
+    assert parse_mesh_spec("tp=2") == {"dp": None, "tp": 2}
+    for bad in ("dp4", "dp=4;tp=2", "pp=2", "dp=x", ""):
+        with pytest.raises(ValueError, match="--mesh"):
+            parse_mesh_spec(bad)
+
+
+def test_per_stack_orchestrate_child_argv(monkeypatch, tmp_path):
+    """--per_stack_process + --cfg-path: child argv must NOT carry
+    --cfg_path (unknown option string; values are already merged), and the
+    parent must not build a mesh/backend before spawning children
+    (review r4 findings 1+3)."""
+    import subprocess
+
+    from ecoflap_tpu.cli import prune as pcli
+
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        "model: {arch: t5, model_scale: tiny}\n"
+        "prune: {prune_spec: 2-0.5-1.0-1.0, num_samples: 8, batch_size: 4}\n")
+
+    cmds = []
+
+    class _R:
+        returncode = 0
+        stderr = ""
+        stdout = json.dumps({"sparsity_dict": "sd.yaml", "checkpoint": "ck",
+                             "prunable_sparsity": 0.5, "job_id": "x",
+                             "wall_clock_s": 1.0}) + "\n"
+
+    def fake_run(cmd, capture_output=None, text=None):
+        cmds.append(cmd)
+        return _R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+
+    def boom(*a, **k):
+        raise AssertionError("parent must not init a mesh before children")
+
+    monkeypatch.setattr(pcli, "_setup_mesh", boom)
+    out = pcli.main(["--cfg-path", str(cfg), "--per_stack_process",
+                     "--stacks", "encoder.block", "--mesh", "dp=2",
+                     "--platform", "cpu", "--output_dir", str(tmp_path)])
+    assert out["stages"]
+    flat = [tok for cmd in cmds for tok in cmd]
+    assert "--cfg_path" not in flat and "--cfg-path" not in flat
+    # merged YAML values DID reach the children as plain flags
+    assert "--prune_spec" in flat and "2-0.5-1.0-1.0" in flat
+    # --mesh rides through to the children
+    assert flat.count("dp=2") == len(cmds)
