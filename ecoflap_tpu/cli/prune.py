@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -98,6 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coarse_only", action="store_true",
                    help="compute + save the coarse-stage sparsity dict, "
                         "skip the fine stage")
+    p.add_argument("--stream_grad", default=None, choices=["0", "1"],
+                   help="Grad* coarse scoring: 1 = streamed per-block "
+                        "backward (three small programs per stack instead "
+                        "of one giant remat'd grad-of-scan — kills the "
+                        "multi-minute remote compile on the cold path; "
+                        "sums are equality-tested). Defaults to the "
+                        "ECOFLAP_STREAM_GRAD env (off)")
     p.add_argument("--host_stream", action="store_true",
                    help="fine stage with HOST-resident weights, one block on "
                         "device at a time (single-chip big-model mode; the "
@@ -141,7 +149,6 @@ def _setup_mesh(args):
     virtual CPU devices are needed: the device count comes from XLA_FLAGS."""
     if not args.mesh or args.mesh == "none":
         return None
-    import os
     import re
 
     from ecoflap_tpu.parallel.mesh import make_mesh, parse_mesh_spec
@@ -374,7 +381,6 @@ def _per_stack_orchestrate(args) -> Dict[str, Any]:
     chaining pruned params through orbax checkpoints. Each subprocess gets a
     fresh device-allocation budget — the fix for SparseGPT-at-XL dying with
     RESOURCE_EXHAUSTED at the decoder phase (ROUND1_NOTES.md round-2 list)."""
-    import os
     import subprocess
     import sys
 
@@ -455,6 +461,8 @@ def main(argv=None) -> Dict[str, Any]:
         parser.error("--model is required (directly or via --cfg-path)")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.stream_grad is not None:
+        os.environ["ECOFLAP_STREAM_GRAD"] = args.stream_grad
     if args.sparsity_type != "unstructured" and ":" in args.sparsity_type:
         args.prune_n, args.prune_m = map(int, args.sparsity_type.split(":"))
     if args.per_stack_process:
@@ -475,7 +483,6 @@ def main(argv=None) -> Dict[str, Any]:
 
         shapes = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), adapter.params)
-        import os
 
         adapter.params = ocp.StandardCheckpointer().restore(
             os.path.abspath(args.load_pruned), shapes)

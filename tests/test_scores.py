@@ -252,3 +252,35 @@ def test_stream_grad_env_through_pruner(monkeypatch):
     assert set(off) == set(on)
     for k in off:
         assert abs(off[k] - on[k]) < 5e-3, k
+
+
+def test_streamed_backward_matches_partitioned_llama():
+    """Single-stack decoder-only family through the same streamed path
+    (llama's suffix plan: finish = final-norm + lm-head loss)."""
+    import jax
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.pruning.first_order import first_order_group_sums
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(7)
+    batch = {"input_ids": jnp.asarray(
+        rng.integers(2, cfg.vocab_size, size=(8, 16)), jnp.int32)}
+    ad = llama.make_adapter(cfg, params)
+    targets = ad.targets()
+    batches = [jax.tree_util.tree_map(
+        lambda x: x.reshape(2, -1, *x.shape[1:])[b], batch)
+        for b in range(2)]
+    prefixes = [s.blocks_path for s in ad.stacks]
+
+    base = first_order_group_sums(
+        ad.loss_fn, params, batches, targets, "GradMagAbs",
+        partition_prefixes=prefixes)
+    streamed = first_order_group_sums(
+        ad.loss_fn, params, batches, targets, "GradMagAbs",
+        partition_prefixes=prefixes,
+        stream_plans=ad.build_mezo_plans(params, batch))
+    for k in base:
+        np.testing.assert_allclose(streamed[k], base[k], rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
