@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "prune: tree carries the flags below. Explicit "
                         "flags override the file")
     p.add_argument("--model", default=None,
-                   choices=["blip2_t5", "t5", "eva_clip", "clip", "llama"])
+                   choices=["blip2_t5", "t5", "eva_clip", "clip", "llama",
+                            "deit", "convnext"])
     p.add_argument("--model_scale", default="tiny",
                    choices=["tiny", "small", "full"],
                    help="'small' exists only for llama (OpenLLaMA-3B) and "
@@ -285,6 +286,55 @@ def _configs(args):
             "label": jnp.asarray(rng.integers(0, 10, size=(n,)), jnp.int32),
         }
         adapter = clip_mod.make_adapter(cfg, params, include_text=not eva)
+        stack_specs = {}
+        if args.prune_spec:
+            for s in adapter.stacks:
+                stack_specs[s.name] = args.prune_spec
+        return adapter, batch, max(1, n // args.batch_size), stack_specs
+
+    if args.model in ("deit", "convnext"):
+        # LLaMA/image_classifiers family (main.py --model deit_base/
+        # convnext_tiny; prune_deit/prune_vit/prune_convnext,
+        # prune_utils.py:27-226): CE calibration loss over (image, label)
+        # pairs — synthetic by default, or an imagefolder root via --calib
+        from ecoflap_tpu.models import classifiers, eva_vit
+
+        if args.model == "deit":
+            cfg = (classifiers.deit_base() if scale == "full"
+                   else eva_vit.tiny_config(final_norm=True, head_dim=10,
+                                            qkv_bias_mode="full"))
+            params = _jit_init(eva_vit.init_params, cfg, key, dtype)
+            adapter = classifiers.make_vit_classifier_adapter(cfg, params)
+            img, num_classes = cfg.img_size, cfg.head_dim
+        else:
+            cfg = (classifiers.convnext_tiny() if scale == "full"
+                   else classifiers.tiny_config())
+            params = _jit_init(classifiers.init_params, cfg, key, dtype)
+            adapter = classifiers.make_convnext_adapter(cfg, params)
+            img, num_classes = cfg.img_size, cfg.num_classes
+        n = args.num_samples
+        if args.calib != "synthetic":
+            from ecoflap_tpu.core.registry import registry
+            from ecoflap_tpu.data import datasets as _ds  # noqa: F401
+            from ecoflap_tpu.data.processors import ImageEvalProcessor
+
+            folder = registry.get("builder", "imagenet")(
+                {"vis_root": args.calib},
+                vis_processor=ImageEvalProcessor(image_size=img))
+            items = [folder[i % len(folder)] for i in range(n)]
+            batch = {
+                "image": jnp.asarray(
+                    np.stack([it["image"] for it in items]), dtype),
+                "label": jnp.asarray(
+                    [it["label"] % num_classes for it in items], jnp.int32),
+            }
+        else:
+            rng = np.random.default_rng(args.seed)
+            batch = {
+                "image": jnp.asarray(rng.normal(size=(n, img, img, 3)), dtype),
+                "label": jnp.asarray(
+                    rng.integers(0, num_classes, size=(n,)), jnp.int32),
+            }
         stack_specs = {}
         if args.prune_spec:
             for s in adapter.stacks:

@@ -547,6 +547,9 @@ for _name, _cls in [
     ("blipt5_sparsegpt_pruner", SparseGPTPruner),
     ("llama_sparsegpt_pruner", SparseGPTPruner),
     ("clip_sparsegpt_pruner", SparseGPTPruner),
+    ("deit_wanda_pruner", WandaPruner),
+    ("vit_classifier_wanda_pruner", WandaPruner),
+    ("convnext_wanda_pruner", WandaPruner),
     ("blipt5_global_mag_pruner", GlobalMagPruner),
     ("blipt5_global_gradmagabs_pruner", GlobalGradMagAbsPruner),
     ("blipt5_global_mezo_pruner", GlobalMeZoPruner),

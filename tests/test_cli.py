@@ -339,3 +339,22 @@ def test_per_stack_orchestrate_child_argv(monkeypatch, tmp_path):
     assert "--prune_spec" in flat and "2-0.5-1.0-1.0" in flat
     # --mesh rides through to the children
     assert flat.count("dp=2") == len(cmds)
+
+
+@pytest.mark.parametrize("model", ["deit", "convnext"])
+def test_cli_image_classifier_prune(tmp_path, model):
+    """LLaMA/image_classifiers family through the unified prune CLI
+    (reference main.py --model deit_base/convnext_tiny --prune_metric
+    wanda --sparsity 0.5, README.md:16-27)."""
+    from ecoflap_tpu.cli.prune import main as prune_main
+
+    spec = "2-0.5-1.0-1.0" if model == "deit" else "0-0.5-1.0-1.0"
+    result = prune_main([
+        "--model", model, "--model_scale", "tiny",
+        "--pruning_method", f"{model}_wanda_pruner",
+        "--prune_spec", spec,
+        "--num_samples", "8", "--batch_size", "4",
+        "--platform", "cpu",
+        "--output_dir", str(tmp_path),
+    ])
+    assert 0.40 < result["prunable_sparsity"] < 0.60
