@@ -273,7 +273,13 @@ def _configs(args):
         eva = args.model == "eva_clip"
         cfg = (clip_mod.eva_clip_g() if eva else clip_mod.vit_b16()) \
             if scale == "full" else clip_mod.tiny_config(eva=eva)
-        params = _jit_init(clip_mod.init_params, cfg, key, dtype)
+        if args.ckpt:
+            from ecoflap_tpu.utils import checkpoint as ck
+
+            params = ck.convert_clip(ck.load_torch_checkpoint(args.ckpt),
+                                     cfg, dtype=dtype)
+        else:
+            params = _jit_init(clip_mod.init_params, cfg, key, dtype)
         rng = np.random.default_rng(args.seed)
         img = (cfg.eva_visual.img_size if cfg.eva_visual else cfg.visual.img_size)
         n = args.num_samples

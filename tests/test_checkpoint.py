@@ -257,3 +257,77 @@ def test_blip2_roundtrip_and_reference_keys():
     for k in fa:
         np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
                                    rtol=1e-6, err_msg=k)
+
+
+def test_convert_clip_openai_naming_roundtrip():
+    """convert_clip: OpenAI CLIP state_dict naming (vendored CoOp/clip
+    model.py — visual.transformer.resblocks / transformer.resblocks,
+    in_proj_weight fused qkv) -> our pytree, leaf-exact. The state dict is
+    built by inverting the mapping from a random init, so every key the
+    converter reads is exercised."""
+    import numpy as np
+
+    from ecoflap_tpu.models import clip as cm
+    from ecoflap_tpu.utils import checkpoint as ck
+
+    cfg = cm.tiny_config(eva=False)
+    params = cm.init_params(cfg, jax.random.PRNGKey(3))
+
+    def t(x):  # torch layout: (out, in)
+        return np.asarray(x).T
+
+    state = {
+        "token_embedding.weight": np.asarray(params["text"]["token_embedding"]),
+        "positional_embedding": np.asarray(params["text"]["positional_embedding"]),
+        "ln_final.weight": np.asarray(params["text"]["ln_final"]["scale"]),
+        "ln_final.bias": np.asarray(params["text"]["ln_final"]["bias"]),
+        "text_projection": np.asarray(params["text"]["text_projection"]),
+        "logit_scale": np.asarray(params["logit_scale"]),
+        "visual.class_embedding": np.asarray(params["visual"]["class_embedding"]),
+        "visual.positional_embedding": np.asarray(
+            params["visual"]["positional_embedding"]),
+        "visual.ln_pre.weight": np.asarray(params["visual"]["ln_pre"]["scale"]),
+        "visual.ln_pre.bias": np.asarray(params["visual"]["ln_pre"]["bias"]),
+        "visual.ln_post.weight": np.asarray(params["visual"]["ln_post"]["scale"]),
+        "visual.ln_post.bias": np.asarray(params["visual"]["ln_post"]["bias"]),
+        "visual.proj": np.asarray(params["visual"]["proj"]),
+    }
+    # conv1: the converter does conv.reshape(d, -1).T — invert exactly that
+    d = cfg.visual.width
+    state["visual.conv1.weight"] = np.asarray(
+        params["visual"]["conv1"]["kernel"]).T.reshape(d, -1)
+
+    for tower, prefix in (("text", "transformer"),
+                          ("visual", "visual.transformer")):
+        blocks = params[tower]["blocks"]
+        L = blocks["ln_1"]["scale"].shape[0]
+        for i in range(L):
+            p = f"{prefix}.resblocks.{i}."
+            state[p + "ln_1.weight"] = np.asarray(blocks["ln_1"]["scale"][i])
+            state[p + "ln_1.bias"] = np.asarray(blocks["ln_1"]["bias"][i])
+            state[p + "ln_2.weight"] = np.asarray(blocks["ln_2"]["scale"][i])
+            state[p + "ln_2.bias"] = np.asarray(blocks["ln_2"]["bias"][i])
+            state[p + "attn.in_proj_weight"] = t(
+                blocks["attn"]["in_proj"]["kernel"][i])
+            state[p + "attn.in_proj_bias"] = np.asarray(
+                blocks["attn"]["in_proj"]["bias"][i])
+            state[p + "attn.out_proj.weight"] = t(
+                blocks["attn"]["out_proj"]["kernel"][i])
+            state[p + "attn.out_proj.bias"] = np.asarray(
+                blocks["attn"]["out_proj"]["bias"][i])
+            state[p + "mlp.c_fc.weight"] = t(blocks["mlp"]["c_fc"]["kernel"][i])
+            state[p + "mlp.c_fc.bias"] = np.asarray(
+                blocks["mlp"]["c_fc"]["bias"][i])
+            state[p + "mlp.c_proj.weight"] = t(
+                blocks["mlp"]["c_proj"]["kernel"][i])
+            state[p + "mlp.c_proj.bias"] = np.asarray(
+                blocks["mlp"]["c_proj"]["bias"][i])
+
+    back = ck.convert_clip(state, cfg)
+    from ecoflap_tpu.core.pytree import flatten_named
+
+    fa, fb = flatten_named(params), flatten_named(back)
+    assert fa.keys() == fb.keys(), sorted(set(fa) ^ set(fb))[:8]
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]),
+                                      err_msg=k)
