@@ -309,7 +309,13 @@ def _configs(args):
             cfg = (classifiers.deit_base() if scale == "full"
                    else eva_vit.tiny_config(final_norm=True, head_dim=10,
                                             qkv_bias_mode="full"))
-            params = _jit_init(eva_vit.init_params, cfg, key, dtype)
+            if args.ckpt:
+                from ecoflap_tpu.utils import checkpoint as ck
+
+                params = ck.convert_eva_vit(
+                    ck.load_torch_checkpoint(args.ckpt), cfg, dtype=dtype)
+            else:
+                params = _jit_init(eva_vit.init_params, cfg, key, dtype)
             adapter = classifiers.make_vit_classifier_adapter(cfg, params)
             img, num_classes = cfg.img_size, cfg.head_dim
         else:

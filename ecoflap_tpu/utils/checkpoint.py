@@ -88,8 +88,6 @@ def convert_eva_vit(state: StateDict, cfg, prefix: str = "",
             },
             "attn": {
                 "qkv": {"kernel": _stack_t(state, p + "blocks.{i}.attn.qkv.weight", L)},
-                "q_bias": _stack(state, p + "blocks.{i}.attn.q_bias", L),
-                "v_bias": _stack(state, p + "blocks.{i}.attn.v_bias", L),
                 "proj": {
                     "kernel": _stack_t(state, p + "blocks.{i}.attn.proj.weight", L),
                     "bias": _stack(state, p + "blocks.{i}.attn.proj.bias", L),
@@ -111,6 +109,15 @@ def convert_eva_vit(state: StateDict, cfg, prefix: str = "",
             },
         },
     }
+    # qkv bias layout differs by family: EVA keeps separate q_bias/v_bias
+    # params (no k bias, eva_vit.py:79-85); timm DeiT/ViT classifiers fuse
+    # a full qkv.bias (image_classifiers checkpoints)
+    attn = out["blocks"]["attn"]
+    if getattr(cfg, "qkv_bias_mode", "eva") == "full":
+        attn["qkv"]["bias"] = _stack(state, p + "blocks.{i}.attn.qkv.bias", L)
+    else:
+        attn["q_bias"] = _stack(state, p + "blocks.{i}.attn.q_bias", L)
+        attn["v_bias"] = _stack(state, p + "blocks.{i}.attn.v_bias", L)
     if cfg.final_norm:
         out["norm"] = {"scale": state[f"{p}norm.weight"],
                        "bias": state[f"{p}norm.bias"]}
@@ -136,8 +143,12 @@ def export_eva_vit(params: PyTree, cfg, prefix: str = "") -> StateDict:
         out[f"{p}blocks.{i}.norm1.weight"] = np.asarray(b["norm1"]["scale"][i], np.float32)
         out[f"{p}blocks.{i}.norm1.bias"] = np.asarray(b["norm1"]["bias"][i], np.float32)
         out[f"{p}blocks.{i}.attn.qkv.weight"] = np.asarray(b["attn"]["qkv"]["kernel"][i], np.float32).T
-        out[f"{p}blocks.{i}.attn.q_bias"] = np.asarray(b["attn"]["q_bias"][i], np.float32)
-        out[f"{p}blocks.{i}.attn.v_bias"] = np.asarray(b["attn"]["v_bias"][i], np.float32)
+        if "bias" in b["attn"]["qkv"]:  # timm full-bias classifiers
+            out[f"{p}blocks.{i}.attn.qkv.bias"] = np.asarray(
+                b["attn"]["qkv"]["bias"][i], np.float32)
+        else:  # EVA: separate q/v biases, no k bias (eva_vit.py:79-85)
+            out[f"{p}blocks.{i}.attn.q_bias"] = np.asarray(b["attn"]["q_bias"][i], np.float32)
+            out[f"{p}blocks.{i}.attn.v_bias"] = np.asarray(b["attn"]["v_bias"][i], np.float32)
         out[f"{p}blocks.{i}.attn.proj.weight"] = np.asarray(b["attn"]["proj"]["kernel"][i], np.float32).T
         out[f"{p}blocks.{i}.attn.proj.bias"] = np.asarray(b["attn"]["proj"]["bias"][i], np.float32)
         out[f"{p}blocks.{i}.norm2.weight"] = np.asarray(b["norm2"]["scale"][i], np.float32)

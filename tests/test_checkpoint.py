@@ -331,3 +331,27 @@ def test_convert_clip_openai_naming_roundtrip():
     for k in fa:
         np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]),
                                       err_msg=k)
+
+
+def test_eva_vit_full_bias_roundtrip():
+    """timm DeiT/ViT classifier layout (fused qkv.bias, no separate
+    q_bias/v_bias): export -> convert must be leaf-exact in full-bias mode
+    (image_classifiers checkpoints)."""
+    import numpy as np
+
+    from ecoflap_tpu.core.pytree import flatten_named
+    from ecoflap_tpu.models import eva_vit
+    from ecoflap_tpu.utils import checkpoint as ck
+
+    cfg = eva_vit.tiny_config(final_norm=True, head_dim=10,
+                              qkv_bias_mode="full")
+    params = eva_vit.init_params(cfg, jax.random.PRNGKey(5))
+    state = ck.export_eva_vit(params, cfg)
+    assert "blocks.0.attn.qkv.bias" in state
+    assert "blocks.0.attn.q_bias" not in state
+    back = ck.convert_eva_vit(state, cfg)
+    fa, fb = flatten_named(params), flatten_named(back)
+    assert fa.keys() == fb.keys(), sorted(set(fa) ^ set(fb))[:8]
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]),
+                                      err_msg=k)
