@@ -358,3 +358,36 @@ def test_cli_image_classifier_prune(tmp_path, model):
         "--output_dir", str(tmp_path),
     ])
     assert 0.40 < result["prunable_sparsity"] < 0.60
+
+
+def test_cli_mesh_sharded_streamed_first_order(tmp_path):
+    """--mesh dp=4,tp=2 x --stream_grad 1 (the streamed per-block backward
+    under tensor sharding): coarse dict must match the single-device
+    unstreamed run — the v5e-8 first-order path end-to-end."""
+    import yaml
+
+    from ecoflap_tpu.cli.prune import main as prune_main
+
+    common = [
+        "--model", "t5", "--model_scale", "tiny",
+        "--pruning_method", "t5_wanda_pruner",
+        "--prune_spec", "2-0.5-1.0-1.0",
+        "--sparsity_ratio_granularity", "block",
+        "--score_method", "GradMagAbs_sum",
+        "--num_data_first_stage", "8",
+        "--num_samples", "8", "--batch_size", "4",
+        "--platform", "cpu",
+    ]
+    single = prune_main(common + ["--stream_grad", "0",
+                                  "--output_dir", str(tmp_path / "s")])
+    meshed = prune_main(common + ["--stream_grad", "1",
+                                  "--mesh", "dp=4,tp=2",
+                                  "--output_dir", str(tmp_path / "m")])
+    with open(single["sparsity_dict"]) as f:
+        sd_s = yaml.safe_load(f)
+    with open(meshed["sparsity_dict"]) as f:
+        sd_m = yaml.safe_load(f)
+    assert set(sd_s) == set(sd_m)
+    for k in sd_s:
+        assert abs(sd_s[k] - sd_m[k]) < 5e-4, k
+    assert abs(single["prunable_sparsity"] - meshed["prunable_sparsity"]) < 0.01
