@@ -35,7 +35,8 @@ def build_parser():
                    help="dot-list overrides, e.g. run.batch_size_eval=16")
     p.add_argument("--model", default=None,
                    choices=["blip2_t5", "blip2_opt", "blip2_qformer", "t5",
-                            "eva_clip", "clip", "llama", "blip1"])
+                            "eva_clip", "clip", "llama", "blip1",
+                            "deit", "convnext"])
     p.add_argument("--model_scale", default="tiny", choices=["tiny", "full"])
     p.add_argument("--task", default=None,
                    choices=["vqa", "gqa", "captioning", "classification",
@@ -128,6 +129,31 @@ def _init_params(init_fn, cfg, args):
     dtype = jnp.bfloat16 if args.model_scale == "full" else jnp.float32
     return jax.jit(lambda k: init_fn(cfg, k, dtype=dtype))(
         jax.random.PRNGKey(args.seed))
+
+
+def _classifier_model(args):
+    """(cfg, params, forward_fn, img_size, num_classes) for the
+    image_classifiers family (deit/convnext)."""
+    from ecoflap_tpu.models import classifiers, eva_vit
+    from ecoflap_tpu.runners.runner import Runner
+
+    if args.model == "deit":
+        cfg = (classifiers.deit_base() if args.model_scale == "full"
+               else eva_vit.tiny_config(final_norm=True, head_dim=10,
+                                        qkv_bias_mode="full"))
+        params = _init_params(eva_vit.init_params, cfg, args)
+        fwd = lambda p, im: eva_vit.forward(cfg, p, im)  # noqa: E731
+        img, ncls = cfg.img_size, cfg.head_dim
+    else:
+        cfg = (classifiers.convnext_tiny() if args.model_scale == "full"
+               else classifiers.tiny_config())
+        params = _init_params(classifiers.init_params, cfg, args)
+        fwd = lambda p, im: classifiers.forward(cfg, p, im)  # noqa: E731
+        img, ncls = cfg.img_size, cfg.num_classes
+    if args.checkpoint:
+        params = Runner(args.output_dir).load_checkpoint(params,
+                                                         args.checkpoint)
+    return cfg, params, fwd, img, ncls
 
 
 def _synthetic_eval(args) -> Dict[str, Any]:
@@ -452,6 +478,27 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         task = ClassificationTask(predict_fn)
         return runner.evaluate(task, batches)
 
+    if args.model in ("deit", "convnext") and args.task == "classification":
+        # image_classifiers top-1 (reference LLaMA/image_classifiers
+        # main.py evaluates after pruning)
+        cfg, params, fwd, img, ncls = _classifier_model(args)
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
+        jit_predict = jax.jit(fwd)
+
+        def predict_fn(batch):
+            arrs = _shard_arrays(mesh, {"image": jnp.asarray(batch["image"])})
+            return jit_predict(params, arrs["image"])
+
+        batches = [{
+            "image": rng.normal(
+                size=(args.batch_size, img, img, 3)).astype(np.float32),
+            "label": rng.integers(0, ncls, size=(args.batch_size,)),
+        } for _ in range(2)]
+        from ecoflap_tpu.tasks.classification import ClassificationTask
+
+        return runner.evaluate(ClassificationTask(predict_fn), batches)
+
     if args.model == "t5" and args.task == "mmlu":
         from ecoflap_tpu.models import t5 as t5_mod
         from ecoflap_tpu.tasks.mmlu import MMLUTask
@@ -597,6 +644,25 @@ def _real_eval(args) -> Dict[str, Any]:
         task = ClassificationTask(predict_fn)
         return runner.evaluate(
             task, list(batch_iterator(ds, args.batch_size, drop_last=True)))
+
+    if args.model in ("deit", "convnext") and args.task == "classification":
+        from ecoflap_tpu.tasks.classification import ClassificationTask
+
+        cfg, params, fwd, img, ncls = _classifier_model(args)
+        vis = ImageEvalProcessor(image_size=img)
+        ds = registry.get("builder", "imagenet")(
+            {"vis_root": args.vis_root}, vis_processor=vis)
+        mesh = _eval_mesh(args)
+        params = _replicate(mesh, params)
+        jit_predict = jax.jit(fwd)
+
+        def predict_fn(batch):
+            arrs = _shard_arrays(mesh, {"image": jnp.asarray(batch["image"])})
+            return jit_predict(params, arrs["image"])
+
+        return runner.evaluate(
+            ClassificationTask(predict_fn),
+            list(batch_iterator(ds, args.batch_size, drop_last=True)))
 
     raise NotImplementedError(f"{args.model}/{args.task} real-data eval")
 

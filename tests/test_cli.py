@@ -391,3 +391,17 @@ def test_cli_mesh_sharded_streamed_first_order(tmp_path):
     for k in sd_s:
         assert abs(sd_s[k] - sd_m[k]) < 5e-4, k
     assert abs(single["prunable_sparsity"] - meshed["prunable_sparsity"]) < 0.01
+
+
+@pytest.mark.parametrize("model", ["deit", "convnext"])
+def test_cli_image_classifier_eval(tmp_path, model):
+    """image_classifiers top-1 eval path (reference main.py evaluates after
+    pruning) — synthetic smoke, finite accuracy."""
+    from ecoflap_tpu.cli.evaluate import main as eval_main
+
+    result = eval_main([
+        "--model", model, "--task", "classification", "--synthetic",
+        "--platform", "cpu", "--batch_size", "4",
+        "--output_dir", str(tmp_path),
+    ])
+    assert np.isfinite(result["agg_metrics"])
