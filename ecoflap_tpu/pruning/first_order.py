@@ -127,6 +127,12 @@ def streamed_plan_grad_sums(
     scan). Per-target stats stay ON DEVICE (one (L,k) readback per batch
     at the end — per-call float() readbacks would cost ~30 ms × L·nb
     through the axon tunnel). Cotangents are donated between block calls.
+
+    Memory: ``xs`` pins L × one microbatch of block inputs (BLIP-2 XL ViT
+    at mb=8: ~226 MB — cheap). Long-sequence LLMs are the exception
+    (LLaMA-7B @2048: ~1 GB per sample per stack) — there, shrink the
+    microbatch or keep the default partitioned path; the flag is opt-in
+    per run (ECOFLAP_STREAM_GRAD / --stream_grad).
     """
     stack = plan.stack
     from ecoflap_tpu.core.pytree import get_leaf
