@@ -145,8 +145,10 @@ class TwoStagePruner:
         if self.sparsity_dict is not None:
             if isinstance(self.sparsity_dict, str):
                 with open(self.sparsity_dict) as f:
-                    return yaml.safe_load(f)
-            return dict(self.sparsity_dict)
+                    sd = yaml.safe_load(f)
+            else:
+                sd = dict(self.sparsity_dict)
+            return self._adapt_sparsity_dict(sd)
 
         mapping = self.adapter.group_mapping(sparsity_ratio_granularity)
         data, num_mb = self._coarse_data()
@@ -195,6 +197,41 @@ class TwoStagePruner:
                          else None),
             verbose=self.verbose,
         )
+
+    def _adapt_sparsity_dict(self, sd: Dict[str, float]) -> Dict[str, float]:
+        """Cross-model sparsity-dict reuse (wanda_pruner.py:570-585): a
+        BLIP-2-derived dict feeds the EVA-CLIP pruner — ``visual_encoder.*``
+        keys remap to the eva_clip tower's ``visual.*`` names (and the
+        reverse direction), and targets the SOURCE model lacks (BLIP-2's ViT
+        drops EVA block 39) fill with sparsity 0 = keep dense, exactly like
+        the reference's explicit block-39 zero-fill. Fills are loud; a dict
+        covering under half the targets is a wrong dict and raises (the
+        legitimate case is a handful of trailing blocks, 39/40)."""
+        targets = {t.name for t in self.adapter.targets()}
+        if targets <= set(sd):
+            return sd
+        out = dict(sd)
+        for a, b in (("visual_encoder.", "visual."),
+                     ("visual.", "visual_encoder.")):
+            if (any(k.startswith(a) for k in sd)
+                    and any(t.startswith(b) for t in targets)):
+                for k, v in sd.items():
+                    if k.startswith(a):
+                        out.setdefault(b + k[len(a):], v)
+        missing = sorted(t for t in targets if t not in out)
+        if missing:
+            covered = len(targets) - len(missing)
+            if covered < 0.5 * len(targets):
+                raise KeyError(
+                    f"--sparsity_dict covers only {covered}/{len(targets)} "
+                    f"targets (first missing: {missing[:3]}) — wrong dict "
+                    "for this model")
+            print(f"sparsity_dict: zero-filling {len(missing)} targets the "
+                  f"source model lacks (kept dense): {missing[:4]}"
+                  f"{' ...' if len(missing) > 4 else ''}")
+            for t in missing:
+                out[t] = 0.0
+        return out
 
     def _eval_chunks(self, data: Any) -> Optional[int]:
         """Memory-chunk count from eval_chunk_size (None = per-microbatch).

@@ -225,3 +225,60 @@ def test_coarse_data_and_eval_chunks_divisibility(setup):
     data2, num_mb2 = pruner2._coarse_data()
     assert jax.tree_util.tree_leaves(data2)[0].shape[0] == 32
     assert num_mb2 == 4
+
+
+def test_sparsity_dict_cross_model_remap_and_zero_fill(capsys):
+    """wanda_pruner.py:570-585 parity: a BLIP-2-derived sparsity dict
+    (visual_encoder.* keys, one block short) drives the eva_clip pruner —
+    keys remap to visual.*, the extra block zero-fills (kept dense), and a
+    dict for the wrong model raises."""
+    import jax
+
+    from ecoflap_tpu.models import clip as clip_mod
+    from ecoflap_tpu.pruning.pruners import WandaPruner
+
+    cfg = clip_mod.tiny_config(eva=True)
+    params = clip_mod.init_params(cfg, jax.random.PRNGKey(0))
+    adapter = clip_mod.make_adapter(cfg, params, include_text=False)
+    stack = adapter.stacks[0]
+    assert stack.name == "visual.blocks"
+    L = stack.num_blocks
+
+    rng = np.random.default_rng(0)
+    img = cfg.eva_visual.img_size
+    n = 8
+    ids = rng.integers(1, cfg.text.vocab_size,
+                       size=(n, cfg.text.context_length))
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(n, img, img, 3)), jnp.float32),
+        "text_ids": jnp.asarray(ids, jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 4, size=(n,)), jnp.int32),
+    }
+
+    # BLIP-2-style dict: visual_encoder.* names, last block ABSENT
+    src = {f"visual_encoder.blocks.{i}.{ln}.weight": 0.5
+           for i in range(L - 1) for ln in stack.linear_names}
+    pruner = WandaPruner(adapter, batch, num_microbatches=2,
+                         prune_spec=f"{L}-0.5-1.0-1.0",
+                         sparsity_dict=src, verbose=False)
+    sd = pruner.get_sparsity(0.5, None)
+    for i in range(L - 1):
+        for ln in stack.linear_names:
+            assert sd[f"visual.blocks.{i}.{ln}.weight"] == 0.5
+    for ln in stack.linear_names:
+        assert sd[f"visual.blocks.{L-1}.{ln}.weight"] == 0.0
+    assert "zero-filling" in capsys.readouterr().out
+
+    # prune end-to-end with the adapted dict: last block stays dense
+    pruner.prune()
+    w_last = stack.weight_get(stack.get_block(adapter.params, L - 1),
+                              stack.linear_names[0])
+    assert float(jnp.mean((w_last == 0).astype(jnp.float32))) < 0.01
+
+    # wrong-model dict raises
+    bad = {"t5_model.encoder.block.0.layer.0.SelfAttention.q.weight": 0.5}
+    p2 = WandaPruner(adapter, batch, num_microbatches=2,
+                     prune_spec=f"{L}-0.5-1.0-1.0",
+                     sparsity_dict=bad, verbose=False)
+    with pytest.raises(KeyError, match="wrong dict"):
+        p2.get_sparsity(0.5, None)
