@@ -123,7 +123,13 @@ def build_parser() -> argparse.ArgumentParser:
     # output
     p.add_argument("--output_dir", default="output")
     p.add_argument("--job_id", default=None)
-    p.add_argument("--save_pruned", action="store_true")
+    p.add_argument("--save_pruned", action="store_true",
+                   help="orbax checkpoint (fast; stage chaining)")
+    p.add_argument("--save_pruned_model", action="store_true",
+                   help="reference-contract torch .pth under "
+                        "pruned_checkpoint/ (evaluate_blip.py:438-456; the "
+                        "eva_clip export drops the text tower + last block "
+                        "exactly like evaluate_eva_clip.py:414-428)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="force a JAX backend (the axon TPU plugin ignores "
@@ -229,6 +235,9 @@ def _configs(args):
                      "labels": jnp.where(batch["labels"] == -100, -100,
                                           batch["labels"] % cfg.t5.vocab_size)}
         adapter = blip2.make_adapter(cfg, params)
+        from ecoflap_tpu.utils import checkpoint as _ck
+
+        adapter.export_torch = lambda p: _ck.export_blip2(p, cfg)
         stack_specs = {}
         if args.vit_prune_spec:
             stack_specs["visual_encoder.blocks"] = args.vit_prune_spec
@@ -261,6 +270,9 @@ def _configs(args):
                      "labels": jnp.where(batch["labels"] == -100, -100,
                                           batch["labels"] % cfg.vocab_size)}
         adapter = t5_mod.make_adapter(cfg, params)
+        from ecoflap_tpu.utils import checkpoint as _ck
+
+        adapter.export_torch = lambda p: _ck.export_t5(p, cfg)
         stack_specs = {}
         if args.prune_spec:
             stack_specs["encoder.block"] = args.prune_spec
@@ -292,6 +304,18 @@ def _configs(args):
             "label": jnp.asarray(rng.integers(0, 10, size=(n,)), jnp.int32),
         }
         adapter = clip_mod.make_adapter(cfg, params, include_text=not eva)
+        if eva:
+            from ecoflap_tpu.utils import checkpoint as _ck
+
+            def _export_eva(p, _cfg=cfg):
+                # evaluate_eva_clip.py:414-428: visual tower only, last
+                # block dropped (the BLIP-2 EVA-ViT-g has 39 of the 40)
+                state = _ck.export_eva_vit(p["visual"], _cfg.eva_visual,
+                                           prefix="visual.")
+                last = f"blocks.{_cfg.eva_visual.depth - 1}."
+                return {k: v for k, v in state.items() if last not in k}
+
+            adapter.export_torch = _export_eva
         stack_specs = {}
         if args.prune_spec:
             for s in adapter.stacks:
@@ -317,6 +341,9 @@ def _configs(args):
             else:
                 params = _jit_init(eva_vit.init_params, cfg, key, dtype)
             adapter = classifiers.make_vit_classifier_adapter(cfg, params)
+            from ecoflap_tpu.utils import checkpoint as _ck
+
+            adapter.export_torch = lambda p: _ck.export_eva_vit(p, cfg)
             img, num_classes = cfg.img_size, cfg.head_dim
         else:
             cfg = (classifiers.convnext_tiny() if scale == "full"
@@ -424,6 +451,7 @@ def _configs(args):
         batch = cal2.build_lm_calibration_batch(
             np.asarray(stream), args.num_samples, seqlen, args.seed)
         adapter = llama.make_adapter(cfg, params)
+        adapter.export_torch = lambda p: ck.export_llama(p, cfg)
         stack_specs = {"model.layers": args.prune_spec} if args.prune_spec else {}
         return adapter, batch, max(1, args.num_samples // args.batch_size), stack_specs
 
@@ -462,8 +490,8 @@ def _per_stack_orchestrate(args) -> Dict[str, Any]:
         # them would double-apply (and --cfg_path is not a flag the child
         # parser knows: the option string is --cfg-path)
         if k in ("per_stack_process", "stacks", "load_pruned", "coarse_only",
-                 "save_pruned", "sparsity_dict", "job_id", "options",
-                 "cfg_path") or v in (None, False):
+                 "save_pruned", "save_pruned_model", "sparsity_dict",
+                 "job_id", "options", "cfg_path") or v in (None, False):
             continue
         flag = f"--{k}"
         base += [flag] if v is True else [flag, str(v)]
@@ -635,6 +663,12 @@ def main(argv=None) -> Dict[str, Any]:
     }
     if args.save_pruned:
         result["checkpoint"] = runner.save_checkpoint(params, f"pruned_{job_id}")
+    if args.save_pruned_model:
+        exporter = getattr(adapter, "export_torch", None)
+        if exporter is None:
+            raise SystemExit(
+                f"--save_pruned_model: no torch exporter for {args.model}")
+        result["pth"] = runner.save_pruned_torch(exporter(params), job_id)
     print(json.dumps(result))
     return result
 

@@ -405,3 +405,39 @@ def test_cli_image_classifier_eval(tmp_path, model):
         "--output_dir", str(tmp_path),
     ])
     assert np.isfinite(result["agg_metrics"])
+
+
+def test_cli_save_pruned_model_torch_contract(tmp_path):
+    """--save_pruned_model emits the reference-contract torch .pth
+    (evaluate_blip.py:438-456 key naming); the eva_clip export drops the
+    text tower and the last visual block (evaluate_eva_clip.py:414-428)."""
+    import torch
+
+    from ecoflap_tpu.cli.prune import main as prune_main
+
+    res = prune_main([
+        "--model", "blip2_t5", "--model_scale", "tiny",
+        "--pruning_method", "blipt5_wanda_pruner",
+        "--prune_spec", "2-0.5-1.0-1.0", "--vit_prune_spec", "3-0.5-1.0-1.0",
+        "--num_samples", "8", "--batch_size", "4", "--platform", "cpu",
+        "--save_pruned_model", "--job_id", "tpth",
+        "--output_dir", str(tmp_path / "b"),
+    ])
+    state = torch.load(res["pth"], weights_only=True)
+    assert "visual_encoder.blocks.0.attn.qkv.weight" in state
+    assert "t5_model.encoder.block.0.layer.0.SelfAttention.q.weight" in state
+    w = state["t5_model.encoder.block.0.layer.0.SelfAttention.q.weight"]
+    assert 0.3 < float((w == 0).float().mean()) < 0.7  # actually pruned
+
+    res2 = prune_main([
+        "--model", "eva_clip", "--model_scale", "tiny",
+        "--pruning_method", "vit_wanda_pruner",
+        "--prune_spec", "3-0.5-1.0-1.0",
+        "--num_samples", "8", "--batch_size", "4", "--platform", "cpu",
+        "--save_pruned_model", "--job_id", "epth",
+        "--output_dir", str(tmp_path / "e"),
+    ])
+    state2 = torch.load(res2["pth"], weights_only=True)
+    assert all(k.startswith("visual.") for k in state2)  # text tower dropped
+    assert any("blocks.0." in k for k in state2)
+    assert not any("blocks.2." in k for k in state2)  # last block dropped
