@@ -133,24 +133,25 @@ def _init_params(init_fn, cfg, args):
 
 def _classifier_model(args):
     """(cfg, params, forward_fn, img_size, num_classes) for the
-    image_classifiers family (deit/convnext)."""
-    from ecoflap_tpu.models import classifiers, eva_vit
+    image_classifiers family (deit/convnext) — model construction shared
+    with cli/prune via classifiers.build."""
+    from ecoflap_tpu.models import classifiers
     from ecoflap_tpu.runners.runner import Runner
 
-    if args.model == "deit":
-        cfg = (classifiers.deit_base() if args.model_scale == "full"
-               else eva_vit.tiny_config(final_norm=True, head_dim=10,
-                                        qkv_bias_mode="full"))
-        params = _init_params(eva_vit.init_params, cfg, args)
-        fwd = lambda p, im: eva_vit.forward(cfg, p, im)  # noqa: E731
-        img, ncls = cfg.img_size, cfg.head_dim
-    else:
-        cfg = (classifiers.convnext_tiny() if args.model_scale == "full"
-               else classifiers.tiny_config())
-        params = _init_params(classifiers.init_params, cfg, args)
-        fwd = lambda p, im: classifiers.forward(cfg, p, im)  # noqa: E731
-        img, ncls = cfg.img_size, cfg.num_classes
-    if args.checkpoint:
+    cfg, init_fn, fwd, img, ncls = classifiers.build(args.model,
+                                                     args.model_scale)
+    params = _init_params(init_fn, cfg, args)
+    if args.checkpoint and args.checkpoint.endswith(".pth"):
+        # the artifact cli.prune --save_pruned_model emits
+        if args.model != "deit":
+            raise SystemExit(
+                f"no torch .pth converter for {args.model}; pass an orbax "
+                "checkpoint (--save_pruned)")
+        from ecoflap_tpu.utils import checkpoint as ck
+
+        params = ck.convert_eva_vit(
+            ck.load_torch_checkpoint(args.checkpoint), cfg)
+    elif args.checkpoint:
         params = Runner(args.output_dir).load_checkpoint(params,
                                                          args.checkpoint)
     return cfg, params, fwd, img, ncls

@@ -327,30 +327,29 @@ def _configs(args):
         # convnext_tiny; prune_deit/prune_vit/prune_convnext,
         # prune_utils.py:27-226): CE calibration loss over (image, label)
         # pairs — synthetic by default, or an imagefolder root via --calib
-        from ecoflap_tpu.models import classifiers, eva_vit
+        from ecoflap_tpu.models import classifiers
 
+        cfg, init_fn, _, img, num_classes = classifiers.build(args.model,
+                                                              scale)
         if args.model == "deit":
-            cfg = (classifiers.deit_base() if scale == "full"
-                   else eva_vit.tiny_config(final_norm=True, head_dim=10,
-                                            qkv_bias_mode="full"))
             if args.ckpt:
                 from ecoflap_tpu.utils import checkpoint as ck
 
                 params = ck.convert_eva_vit(
                     ck.load_torch_checkpoint(args.ckpt), cfg, dtype=dtype)
             else:
-                params = _jit_init(eva_vit.init_params, cfg, key, dtype)
+                params = _jit_init(init_fn, cfg, key, dtype)
             adapter = classifiers.make_vit_classifier_adapter(cfg, params)
             from ecoflap_tpu.utils import checkpoint as _ck
 
             adapter.export_torch = lambda p: _ck.export_eva_vit(p, cfg)
-            img, num_classes = cfg.img_size, cfg.head_dim
         else:
-            cfg = (classifiers.convnext_tiny() if scale == "full"
-                   else classifiers.tiny_config())
-            params = _jit_init(classifiers.init_params, cfg, key, dtype)
+            if args.ckpt:
+                raise SystemExit(
+                    "--ckpt: no torch converter for convnext yet — a run "
+                    "with it would silently prune random weights")
+            params = _jit_init(init_fn, cfg, key, dtype)
             adapter = classifiers.make_convnext_adapter(cfg, params)
-            img, num_classes = cfg.img_size, cfg.num_classes
         n = args.num_samples
         if args.calib != "synthetic":
             from ecoflap_tpu.core.registry import registry
@@ -521,6 +520,10 @@ def _per_stack_orchestrate(args) -> Dict[str, Any]:
             extra += ["--sparsity_dict", sparsity_dict]
         if prev_ckpt:
             extra += ["--load_pruned", prev_ckpt]
+        if args.save_pruned_model and i == len(groups) - 1:
+            # the LAST stage child holds the fully-chained pruned params —
+            # it writes the reference-contract .pth
+            extra += ["--save_pruned_model"]
         r = run(extra, ",".join(group))
         prev_ckpt = r["checkpoint"]
         results.append(r)
@@ -532,6 +535,8 @@ def _per_stack_orchestrate(args) -> Dict[str, Any]:
         "stages": results,
         "checkpoint": prev_ckpt,
     }
+    if args.save_pruned_model:
+        out["pth"] = results[-1]["pth"]
     print(json.dumps(out))
     return out
 
@@ -551,8 +556,6 @@ def main(argv=None) -> Dict[str, Any]:
         parser.error("--model is required (directly or via --cfg-path)")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.stream_grad is not None:
-        os.environ["ECOFLAP_STREAM_GRAD"] = args.stream_grad
     if args.sparsity_type != "unstructured" and ":" in args.sparsity_type:
         args.prune_n, args.prune_m = map(int, args.sparsity_type.split(":"))
     if args.per_stack_process:
@@ -608,6 +611,10 @@ def main(argv=None) -> Dict[str, Any]:
         consume_params=args.consume_params,
         hessian_bf16=args.hessian_bf16,
         host_stream=args.host_stream,
+        # explicit kwarg, not an env write — an in-process caller's flag
+        # must not leak into later main() calls
+        stream_grad=(None if args.stream_grad is None
+                     else args.stream_grad == "1"),
         # crash insurance: the coarse dict lands on disk before the fine
         # stage starts (re-enter with --sparsity_dict to skip re-scoring)
         on_coarse_dict=runner.save_sparsity_dict,

@@ -49,6 +49,24 @@ def vit_classifier_loss(cfg: eva_vit.EvaViTConfig, params, batch):
     ]
 
 
+def build(model: str, scale: str):
+    """Shared CLI factory: (cfg, init_fn, forward_fn, img_size, num_classes)
+    for 'deit' / 'convnext' at 'tiny' / 'full' — one definition so
+    prune-time checkpoints and eval-time templates can never drift."""
+    if model == "deit":
+        cfg = (deit_base() if scale == "full"
+               else eva_vit.tiny_config(final_norm=True, head_dim=10,
+                                        qkv_bias_mode="full"))
+        return (cfg, eva_vit.init_params,
+                lambda p, im: eva_vit.forward(cfg, p, im),
+                cfg.img_size, cfg.head_dim)
+    if model == "convnext":
+        cfg = convnext_tiny() if scale == "full" else tiny_config()
+        return (cfg, init_params, lambda p, im: forward(cfg, p, im),
+                cfg.img_size, cfg.num_classes)
+    raise ValueError(f"unknown classifier family {model!r}")
+
+
 def make_vit_classifier_adapter(cfg: eva_vit.EvaViTConfig, params) -> ModelAdapter:
     stack = eva_vit.make_stack(cfg, name="blocks", blocks_path="blocks")
 

@@ -87,6 +87,9 @@ class TwoStagePruner:
         consume_params: bool = False,
         host_stream: bool = False,
         hessian_bf16: bool = False,
+        # Grad* coarse scoring: None = ECOFLAP_STREAM_GRAD env (off),
+        # True/False = explicit (no process-global state touched)
+        stream_grad: Optional[bool] = None,
         verbose: bool = True,
         on_coarse_dict: Optional[Callable[[Mapping[str, float]], Any]] = None,
         **kwargs: Any,
@@ -99,6 +102,7 @@ class TwoStagePruner:
         self.consume_params = consume_params
         self.host_stream = host_stream
         self.hessian_bf16 = hessian_bf16
+        self.stream_grad = stream_grad
         self.prune_spec = prune_spec
         self.stack_specs = dict(stack_specs or {})
         self.sparsity_ratio_granularity = sparsity_ratio_granularity
@@ -161,9 +165,10 @@ class TwoStagePruner:
         # backward's ~375 s remote compile was round 3's cold critical
         # path). Real* methods still take the plain full-tree path.
         method = self.score_method.upper()
-        want_plans = ("MEZO" in method or (
-            method.startswith("GRAD")
-            and os.environ.get("ECOFLAP_STREAM_GRAD", "0") == "1"))
+        stream = (self.stream_grad if self.stream_grad is not None
+                  else os.environ.get("ECOFLAP_STREAM_GRAD", "0") == "1")
+        want_plans = ("MEZO" in method
+                      or (method.startswith("GRAD") and stream))
         if self.adapter.build_mezo_plans is not None and want_plans:
             plans = self.adapter.build_mezo_plans(
                 self.adapter.params, data, num_chunks=self._eval_chunks(data) or num_mb
@@ -206,8 +211,16 @@ class TwoStagePruner:
         drops EVA block 39) fill with sparsity 0 = keep dense, exactly like
         the reference's explicit block-39 zero-fill. Fills are loud; a dict
         covering under half the targets is a wrong dict and raises (the
-        legitimate case is a handful of trailing blocks, 39/40)."""
-        targets = {t.name for t in self.adapter.targets()}
+        legitimate case is a handful of trailing blocks, 39/40).
+
+        Scope: only the stacks actually BEING PRUNED (spec not None) — a
+        ViT-only dict driving ``--stacks visual_encoder.blocks`` on BLIP-2
+        must not be rejected for missing T5 keys the fine stage never
+        indexes (the reference's eva_clip->blip2 reuse direction)."""
+        pruned = [s for s in self.adapter.stacks
+                  if self._spec_for_stack(s.name) is not None]
+        targets = {s.weight_key(i, ln) for s in pruned
+                   for i in range(s.num_blocks) for ln in s.linear_names}
         if targets <= set(sd):
             return sd
         out = dict(sd)

@@ -282,3 +282,42 @@ def test_sparsity_dict_cross_model_remap_and_zero_fill(capsys):
                      sparsity_dict=bad, verbose=False)
     with pytest.raises(KeyError, match="wrong dict"):
         p2.get_sparsity(0.5, None)
+
+
+def test_sparsity_dict_scope_is_pruned_stacks_only():
+    """A ViT-only dict driving --stacks visual_encoder.blocks on BLIP-2
+    must be accepted: coverage is judged against the stacks being pruned,
+    not every adapter target (round-4 review #1)."""
+    import jax
+
+    from ecoflap_tpu.models import blip2
+    from ecoflap_tpu.pruning.pruners import WandaPruner
+
+    cfg = blip2.tiny_config()
+    params = blip2.init_params(cfg, jax.random.PRNGKey(0))
+    adapter = blip2.make_adapter(cfg, params)
+    vit = adapter.stacks[0]
+    rng = np.random.default_rng(1)
+    n, src, tgt = 8, 6, 5
+    batch = {
+        "image": jnp.asarray(
+            rng.normal(size=(n, cfg.vit.img_size, cfg.vit.img_size, 3)),
+            jnp.float32),
+        "text_input_ids": jnp.asarray(
+            rng.integers(2, cfg.t5.vocab_size, size=(n, src)), jnp.int32),
+        "text_input_mask": jnp.ones((n, src), jnp.int32),
+        "labels": jnp.asarray(
+            rng.integers(2, cfg.t5.vocab_size, size=(n, tgt)), jnp.int32),
+    }
+    vit_dict = {vit.weight_key(i, ln): 0.5
+                for i in range(vit.num_blocks) for ln in vit.linear_names}
+    pruner = WandaPruner(
+        adapter, batch, num_microbatches=2,
+        stack_specs={vit.name: f"{vit.num_blocks}-0.5-1.0-1.0",
+                     "t5_model.encoder.block": None,
+                     "t5_model.decoder.block": None},
+        sparsity_dict=vit_dict, verbose=False)
+    sd = pruner.get_sparsity(0.5, None)  # must NOT raise on missing T5 keys
+    assert all(sd[k] == 0.5 for k in vit_dict)
+    pruner.prune()
+    assert 0.1 < pruner.check_sparsity() < 0.35  # only the ViT pruned
