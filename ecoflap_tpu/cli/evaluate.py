@@ -37,7 +37,17 @@ def build_parser():
                    choices=["blip2_t5", "blip2_opt", "blip2_qformer", "t5",
                             "eva_clip", "clip", "llama", "blip1",
                             "deit", "convnext"])
-    p.add_argument("--model_scale", default="tiny", choices=["tiny", "full"])
+    p.add_argument("--model_scale", default="tiny",
+                   choices=["tiny", "small", "full"],
+                   help="tiny = CPU-test shapes; small = mid-scale real "
+                        "dims (OpenLLaMA-3B, ViT-B/flan-t5-base BLIP-2, "
+                        "flan-t5-base, ViT-B CLIP, DeiT-S, blip_base); "
+                        "full = the reference model. small/full default to "
+                        "bf16 weights — override with --dtype")
+    p.add_argument("--dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="weight dtype; auto = bf16 for small/full, f32 "
+                        "for tiny")
     p.add_argument("--task", default=None,
                    choices=["vqa", "gqa", "captioning", "classification",
                             "retrieval", "nlvr", "mmlu", "wikitext_ppl"])
@@ -126,9 +136,29 @@ def _init_params(init_fn, cfg, args):
     """Jitted random init; bf16 at full scale (an eager f32 init of the 4B
     BLIP-2 is 16 GB — over the 15.75 GB chip — and churns ~3x param bytes
     through the allocator in per-leaf RNG ops)."""
-    dtype = jnp.bfloat16 if args.model_scale == "full" else jnp.float32
+    dtype = _dtype(args)
     return jax.jit(lambda k: init_fn(cfg, k, dtype=dtype))(
         jax.random.PRNGKey(args.seed))
+
+
+def _dtype(args):
+    if getattr(args, "dtype", "auto") != "auto":
+        return jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    return (jnp.bfloat16 if args.model_scale in ("full", "small")
+            else jnp.float32)
+
+
+def _pick(args, full, small, tiny):
+    """Scale-dispatch for model configs; ``small=None`` = no mid-scale
+    preset for this family."""
+    if args.model_scale == "full":
+        return full()
+    if args.model_scale == "small":
+        if small is None:
+            raise SystemExit(f"--model_scale small: no mid-scale preset "
+                             f"for {args.model}; use tiny or full")
+        return small()
+    return tiny()
 
 
 def _classifier_model(args):
@@ -170,11 +200,12 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.models import llama
         from ecoflap_tpu.tasks.lm import PerplexityTask
 
-        cfg = llama.llama_7b() if args.model_scale == "full" else llama.tiny_config()
+        cfg = _pick(args, llama.llama_7b, llama.open_llama_3b,
+                    llama.tiny_config)
         params = _init_params(llama.init_params, cfg, args)
         stream = jnp.asarray(
             rng.integers(2, cfg.vocab_size, size=(64 * 32,)), jnp.int32)
-        seqlen = args.seqlen if args.model_scale == "full" else 32
+        seqlen = args.seqlen if args.model_scale != "tiny" else 32
         task = PerplexityTask(
             lambda s: llama.perplexity(cfg, params, s, seqlen=seqlen,
                                        batch_size=args.batch_size))
@@ -185,8 +216,8 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.models.generation import GenerateConfig
         from ecoflap_tpu.tasks.vqa import VQATask
 
-        cfg = (blip2.blip2_flant5xl() if args.model_scale == "full"
-               else blip2.tiny_config(vocab_size=args.vocab_size))
+        cfg = _pick(args, blip2.blip2_flant5xl, blip2.blip2_small,
+                    lambda: blip2.tiny_config(vocab_size=args.vocab_size))
         params = _init_params(blip2.init_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.t5.vocab_size)
         gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
@@ -230,8 +261,8 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.models import blip2_opt
         from ecoflap_tpu.tasks.captioning import CaptionTask
 
-        cfg = (blip2_opt.blip2_opt2_7b() if args.model_scale == "full"
-               else blip2_opt.tiny_config())
+        cfg = _pick(args, blip2_opt.blip2_opt2_7b, None,
+                    blip2_opt.tiny_config)
         params = _init_params(blip2_opt.init_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.opt.vocab_size)
         gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
@@ -273,8 +304,10 @@ def _synthetic_eval(args) -> Dict[str, Any]:
     if args.model == "blip1" and args.task == "retrieval":
         from ecoflap_tpu.models import blip1
 
-        cfg = (blip1.blip_base() if args.model_scale == "full"
-               else blip1.tiny_config())
+        # blip_base IS the ViT-B mid-scale; small aliases it (f32 vs bf16
+        # is the only difference, via _dtype's auto rule)
+        cfg = _pick(args, blip1.blip_base, blip1.blip_base,
+                    blip1.tiny_config)
         params = _init_params(blip1.init_retrieval_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
         mesh = _eval_mesh(args)
@@ -346,8 +379,10 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.models import blip1
         from ecoflap_tpu.tasks.vqa import VQATask
 
-        cfg = (blip1.blip_base() if args.model_scale == "full"
-               else blip1.tiny_config())
+        # blip_base IS the ViT-B mid-scale; small aliases it (f32 vs bf16
+        # is the only difference, via _dtype's auto rule)
+        cfg = _pick(args, blip1.blip_base, blip1.blip_base,
+                    blip1.tiny_config)
         params = _init_params(blip1.init_vqa_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
         mesh = _eval_mesh(args)
@@ -386,8 +421,10 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.models import blip1
         from ecoflap_tpu.tasks.classification import ClassificationTask
 
-        cfg = (blip1.blip_base() if args.model_scale == "full"
-               else blip1.tiny_config())
+        # blip_base IS the ViT-B mid-scale; small aliases it (f32 vs bf16
+        # is the only difference, via _dtype's auto rule)
+        cfg = _pick(args, blip1.blip_base, blip1.blip_base,
+                    blip1.tiny_config)
         params = _init_params(blip1.init_nlvr_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
         mesh = _eval_mesh(args)
@@ -416,8 +453,10 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.models import blip1
         from ecoflap_tpu.tasks.captioning import CaptionTask
 
-        cfg = (blip1.blip_base() if args.model_scale == "full"
-               else blip1.tiny_config())
+        # blip_base IS the ViT-B mid-scale; small aliases it (f32 vs bf16
+        # is the only difference, via _dtype's auto rule)
+        cfg = _pick(args, blip1.blip_base, blip1.blip_base,
+                    blip1.tiny_config)
         params = _init_params(blip1.init_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
         gen = GenerateConfig(max_new_tokens=args.max_new_tokens,
@@ -504,8 +543,8 @@ def _synthetic_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.models import t5 as t5_mod
         from ecoflap_tpu.tasks.mmlu import MMLUTask
 
-        cfg = (t5_mod.flan_t5_xl() if args.model_scale == "full"
-               else t5_mod.tiny_config())
+        cfg = _pick(args, t5_mod.flan_t5_xl, t5_mod.flan_t5_base,
+                    t5_mod.tiny_config)
         params = _init_params(t5_mod.init_params, cfg, args)
         tok = HashTokenizer(vocab_size=cfg.vocab_size)
 
@@ -553,8 +592,8 @@ def _real_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.models import blip2
         from ecoflap_tpu.utils import checkpoint as ck
 
-        cfg = (blip2.blip2_flant5xl() if args.model_scale == "full"
-               else blip2.tiny_config(vocab_size=args.vocab_size))
+        cfg = _pick(args, blip2.blip2_flant5xl, blip2.blip2_small,
+                    lambda: blip2.tiny_config(vocab_size=args.vocab_size))
         if args.checkpoint and args.checkpoint.endswith(".pth"):
             params = ck.convert_blip2(
                 ck.load_torch_checkpoint(args.checkpoint), cfg,
@@ -613,9 +652,11 @@ def _real_eval(args) -> Dict[str, Any]:
         from ecoflap_tpu.models import clip as clip_mod
         from ecoflap_tpu.tasks.classification import ClassificationTask
 
-        cfg = ((clip_mod.eva_clip_g() if args.model == "eva_clip"
-                else clip_mod.vit_b16()) if args.model_scale == "full"
-               else clip_mod.tiny_config(eva=args.model == "eva_clip"))
+        _eva = args.model == "eva_clip"
+        cfg = _pick(args,
+                    clip_mod.eva_clip_g if _eva else clip_mod.vit_b16,
+                    lambda: clip_mod.small_config(eva=_eva),
+                    lambda: clip_mod.tiny_config(eva=_eva))
         params = _init_params(clip_mod.init_params, cfg, args)
         if args.checkpoint:
             params = Runner(args.output_dir).load_checkpoint(params,

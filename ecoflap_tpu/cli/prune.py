@@ -46,9 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
                             "deit", "convnext"])
     p.add_argument("--model_scale", default="tiny",
                    choices=["tiny", "small", "full"],
-                   help="'small' exists only for llama (OpenLLaMA-3B) and "
-                        "forces bf16 weights like 'full'; other families "
-                        "support tiny/full only")
+                   help="tiny = CPU-test shapes; small = mid-scale real "
+                        "dims (OpenLLaMA-3B, ViT-B/flan-t5-base BLIP-2, "
+                        "flan-t5-base, ViT-B CLIP, DeiT-S); full = the "
+                        "reference model. small/full default to bf16 "
+                        "weights, tiny to f32 — override with --dtype")
+    p.add_argument("--dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="weight dtype; auto = bf16 for small/full "
+                        "(base_pruner.py:48-63 casts to bf16), f32 for tiny")
     p.add_argument("--ckpt", default=None, help="torch .pth checkpoint")
     p.add_argument("--pruning_method", default="blipt5_wanda_pruner")
     # prune specs (keep-ratio encoding, base_pruner.py:75-81)
@@ -183,18 +189,19 @@ def _configs(args):
     from ecoflap_tpu.data import calibration as cal
 
     scale = args.model_scale
-    if scale == "small" and args.model != "llama":
-        raise SystemExit(
-            f"--model_scale small is only implemented for llama "
-            f"(OpenLLaMA-3B); {args.model} supports tiny/full")
     key = jax.random.PRNGKey(args.seed)
-    dtype = jnp.bfloat16 if scale == "full" else jnp.float32
+    if getattr(args, "dtype", "auto") != "auto":
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    else:
+        dtype = jnp.bfloat16 if scale in ("full", "small") else jnp.float32
 
     if args.model == "blip2_t5":
         from ecoflap_tpu.models import blip2
         from ecoflap_tpu.utils import checkpoint as ck
 
-        cfg = blip2.blip2_flant5xl() if scale == "full" else blip2.tiny_config()
+        cfg = (blip2.blip2_flant5xl() if scale == "full"
+               else blip2.blip2_small() if scale == "small"
+               else blip2.tiny_config())
         if args.ckpt:
             params = ck.convert_blip2(ck.load_torch_checkpoint(args.ckpt), cfg,
                                       dtype=dtype)
@@ -229,7 +236,7 @@ def _configs(args):
             samples = cal.synthetic_vl_samples(
                 args.num_samples, cfg.vit.img_size, args.seed)
         batch = cal.build_vl_calibration_batch(samples, tok, spec, args.seed)
-        if scale != "full":
+        if scale == "tiny":
             batch = {**batch,
                      "text_input_ids": batch["text_input_ids"] % cfg.t5.vocab_size,
                      "labels": jnp.where(batch["labels"] == -100, -100,
@@ -251,7 +258,9 @@ def _configs(args):
         from ecoflap_tpu.models import t5 as t5_mod
         from ecoflap_tpu.utils import checkpoint as ck
 
-        cfg = t5_mod.flan_t5_xl() if scale == "full" else t5_mod.tiny_config()
+        cfg = (t5_mod.flan_t5_xl() if scale == "full"
+               else t5_mod.flan_t5_base() if scale == "small"
+               else t5_mod.tiny_config())
         if args.ckpt:
             params = ck.convert_t5(ck.load_torch_checkpoint(args.ckpt), cfg, dtype)
         else:
@@ -264,7 +273,7 @@ def _configs(args):
                           .choice(["the", "a", "dog", "cat", "run"], 20))
                  for i in range(args.num_samples)]
         batch = cal.build_text_calibration_batch(texts, tok, spec, args.seed)
-        if scale != "full":
+        if scale == "tiny":
             batch = {**batch,
                      "input_ids": batch["input_ids"] % cfg.vocab_size,
                      "labels": jnp.where(batch["labels"] == -100, -100,
@@ -283,8 +292,10 @@ def _configs(args):
         from ecoflap_tpu.models import clip as clip_mod
 
         eva = args.model == "eva_clip"
-        cfg = (clip_mod.eva_clip_g() if eva else clip_mod.vit_b16()) \
-            if scale == "full" else clip_mod.tiny_config(eva=eva)
+        cfg = ((clip_mod.eva_clip_g() if eva else clip_mod.vit_b16())
+               if scale == "full"
+               else clip_mod.small_config(eva=eva) if scale == "small"
+               else clip_mod.tiny_config(eva=eva))
         if args.ckpt:
             from ecoflap_tpu.utils import checkpoint as ck
 
@@ -389,8 +400,6 @@ def _configs(args):
         cfg = (llama.llama_7b() if scale == "full"
                else llama.open_llama_3b() if scale == "small"
                else llama.tiny_config())
-        if scale == "small":
-            dtype = jnp.bfloat16
         if args.ckpt:
             params = ck.convert_llama(ck.load_torch_checkpoint(args.ckpt), cfg,
                                       dtype)

@@ -57,6 +57,19 @@ def blip2_flant5xl(img_size: int = 224) -> Blip2Config:
     )
 
 
+def blip2_small(img_size: int = 224) -> Blip2Config:
+    """Mid-scale BLIP-2 ('--model_scale small'): ViT-B/16 vision tower +
+    flan-t5-base LM around the standard 12-layer Q-Former. No reference
+    analogue (LAVIS ships only flant5xl/xxl); exists so the full pipeline
+    can be exercised at ~0.5 GB instead of ~8 GB."""
+    vit = eva_vit.vit_base_config(img_size)
+    return Blip2Config(
+        vit=vit,
+        t5=t5_mod.flan_t5_base(),
+        qformer=qformer.QFormerConfig(encoder_width=vit.embed_dim),
+    )
+
+
 def tiny_config(vocab_size: int = None) -> Blip2Config:
     vit = eva_vit.tiny_config()
     t5_kw = {} if vocab_size is None else {"vocab_size": vocab_size}

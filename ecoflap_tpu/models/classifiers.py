@@ -42,6 +42,15 @@ def deit_base(img_size: int = 224, num_classes: int = 1000) -> eva_vit.EvaViTCon
     )
 
 
+def deit_small(img_size: int = 224, num_classes: int = 1000) -> eva_vit.EvaViTConfig:
+    """DeiT-S/16 ('--model_scale small'): timm deit_small_patch16_224 dims."""
+    return eva_vit.EvaViTConfig(
+        img_size=img_size, patch_size=16, embed_dim=384, depth=12,
+        num_heads=6, mlp_hidden=1536, final_norm=True, head_dim=num_classes,
+        qkv_bias_mode="full",
+    )
+
+
 def vit_classifier_loss(cfg: eva_vit.EvaViTConfig, params, batch):
     logits = eva_vit.forward(cfg, params, batch["image"])
     return -jax.nn.log_softmax(logits, axis=-1)[
@@ -51,17 +60,20 @@ def vit_classifier_loss(cfg: eva_vit.EvaViTConfig, params, batch):
 
 def build(model: str, scale: str):
     """Shared CLI factory: (cfg, init_fn, forward_fn, img_size, num_classes)
-    for 'deit' / 'convnext' at 'tiny' / 'full' — one definition so
-    prune-time checkpoints and eval-time templates can never drift."""
+    for 'deit' / 'convnext' at 'tiny' / 'small' / 'full' — one definition
+    so prune-time checkpoints and eval-time templates can never drift.
+    convnext 'small' aliases convnext_tiny (already the smallest real
+    ConvNeXt); deit 'small' is DeiT-S/16."""
     if model == "deit":
         cfg = (deit_base() if scale == "full"
+               else deit_small() if scale == "small"
                else eva_vit.tiny_config(final_norm=True, head_dim=10,
                                         qkv_bias_mode="full"))
         return (cfg, eva_vit.init_params,
                 lambda p, im: eva_vit.forward(cfg, p, im),
                 cfg.img_size, cfg.head_dim)
     if model == "convnext":
-        cfg = convnext_tiny() if scale == "full" else tiny_config()
+        cfg = convnext_tiny() if scale in ("full", "small") else tiny_config()
         return (cfg, init_params, lambda p, im: forward(cfg, p, im),
                 cfg.img_size, cfg.num_classes)
     raise ValueError(f"unknown classifier family {model!r}")

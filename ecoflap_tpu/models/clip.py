@@ -114,6 +114,26 @@ def eva_clip_g(img_size: int = 224) -> CLIPConfig:
     )
 
 
+def small_config(eva: bool = False, img_size: int = 224) -> CLIPConfig:
+    """Mid-scale CLIP ('--model_scale small'): ViT-B-sized visual tower +
+    a 6-layer text tower. For eva=False this is simply vit_b16 with the
+    text depth halved; for eva=True it swaps EVA-g for a ViT-B-shaped EVA
+    visual. No reference analogue — a cheap stand-in between tiny/full."""
+    text = CLIPTextConfig(width=512, layers=6, heads=8, embed_dim=512,
+                          act="gelu" if eva else "quick_gelu")
+    if eva:
+        return CLIPConfig(
+            visual=None, text=text,
+            eva_visual=eva_vit.vit_base_config(
+                img_size, final_norm=True, head_dim=512),
+        )
+    return CLIPConfig(
+        visual=CLIPVisualConfig(width=768, layers=12, heads=12, patch_size=16,
+                                img_size=img_size, embed_dim=512),
+        text=text,
+    )
+
+
 def tiny_config(eva: bool = False) -> CLIPConfig:
     text = CLIPTextConfig(width=32, layers=2, heads=4, vocab_size=64,
                           context_length=12, embed_dim=16,

@@ -81,6 +81,16 @@ def eva_clip_g_visual(img_size: int = 224, embed_dim: int = 1024) -> EvaViTConfi
     )
 
 
+def vit_base_config(img_size: int = 224, **kw) -> EvaViTConfig:
+    """ViT-B/16 layout (timm vit_base_patch16_224 dims) in the EVA block
+    structure — the mid-scale ('--model_scale small') tower used when the
+    full 39/40-block EVA-g is more model than the run needs."""
+    defaults = dict(img_size=img_size, patch_size=16, embed_dim=768,
+                    depth=12, num_heads=12, mlp_hidden=3072)
+    defaults.update(kw)
+    return EvaViTConfig(**defaults)
+
+
 def tiny_config(**kw) -> EvaViTConfig:
     """Small shapes for CPU tests."""
     defaults = dict(

@@ -109,6 +109,12 @@ def flan_t5_xxl() -> T5Config:
     return T5Config(d_model=4096, d_ff=10240, num_heads=64)
 
 
+def flan_t5_base() -> T5Config:
+    """flan-t5-base dims — the '--model_scale small' T5."""
+    return T5Config(d_model=768, d_ff=2048, num_layers=12,
+                    num_decoder_layers=12, num_heads=12)
+
+
 def tiny_config(**kw) -> T5Config:
     defaults = dict(
         vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=2,
