@@ -305,6 +305,81 @@ def itm_logits(cfg: Blip1Config, params: PyTree, images, ids, mask) -> jax.Array
             + params["itm_head"]["bias"])
 
 
+def retrieval_per_sample_loss(cfg: Blip1Config, params: PyTree,
+                              batch) -> jax.Array:
+    """Per-sample ITM cross-entropy on matched (image, caption) pairs — the
+    UPop retrieval calibration loss (wanda_pruner.py:721-750 retrieval-ITM
+    branch of forward_to_cache): -log p(match) from the ITM head."""
+    logits = itm_logits(cfg, params, batch["image"], batch["caption_ids"],
+                        batch["caption_mask"])
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -logp[:, 1]
+
+
+def make_retrieval_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
+    """Retrieval pruning adapter: same ViT + text towers as the captioner,
+    but the text stack streams the ITM path (bidirectional self-attn,
+    cross-attn to the image) and the calibration loss is ITM-CE — so Wanda/
+    SparseGPT activation stats match what the ITM head actually sees."""
+    vit_stack = eva_vit.make_stack(
+        cfg.vit, name="visual_encoder.blocks",
+        blocks_path="visual_encoder.blocks")
+    enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False})
+
+    def bert_prepare(p, batch):
+        img = encode_image(cfg, p, batch["image"])
+        x = bert_mod.embed(enc_cfg, p["text_decoder"], batch["caption_ids"])
+        cache = bert_mod.make_cache(
+            enc_cfg, batch["caption_mask"], img,
+            jnp.ones(img.shape[:2], jnp.int32), x.shape[1],
+        )
+        return x, cache
+
+    bert_stack = bert_mod.make_bert_stack(
+        enc_cfg, name="text_decoder.bert.encoder.layer",
+        blocks_path="text_decoder.blocks", prepare_inputs=bert_prepare,
+    )
+
+    def loss_fn(p, batch):
+        return retrieval_per_sample_loss(cfg, p, batch)
+
+    def build_mezo_plans(p, batch, num_chunks: int = 1):
+        from ecoflap_tpu.pruning.mezo import make_chunked_loss
+
+        enc = make_chunked_loss(
+            lambda pp, b: encode_image(cfg, pp, b["image"]), num_chunks
+        )
+        img = jax.jit(enc)(p, {"image": batch["image"]})
+        n = batch["image"].shape[0]
+        img = img.reshape(n, -1, cfg.vit.embed_dim)
+        data = {**batch, "image_embeds": img}
+
+        def text_loss(pp, b):
+            hidden = bert_mod.forward(
+                enc_cfg, pp["text_decoder"], b["caption_ids"],
+                b["caption_mask"], b["image_embeds"],
+            )
+            logits = (jnp.dot(hidden[:, 0], pp["itm_head"]["kernel"],
+                              preferred_element_type=jnp.float32)
+                      + pp["itm_head"]["bias"])
+            return -jax.nn.log_softmax(logits, axis=-1)[:, 1]
+
+        return [LossPlan(
+            match=lambda name: name.startswith("text_decoder."),
+            loss_fn=text_loss, data=data,
+        )]
+
+    return ModelAdapter(
+        name="blip1_retrieval", params=params, loss_fn=loss_fn,
+        stacks=[vit_stack, bert_stack],
+        model_prefixes={
+            vit_stack.name: "visual_encoder",
+            bert_stack.name: "text_decoder",
+        },
+        build_mezo_plans=build_mezo_plans,
+    )
+
+
 def retrieval_sim_matrix(cfg: Blip1Config, params: PyTree, images, texts_ids,
                          texts_mask) -> jax.Array:
     """(N_img, N_txt) ITC cosine similarity (first-stage retrieval scores;
