@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""UPop-path BLIP-NLVR ECoFLaP + masked fine-tuning (reference
+UPop/ecoflap_compress_nlvr.py:242-250 config; NLVR CE task loss via the
+dual-image twin-cross text tower)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+import jax.numpy as jnp
+import numpy as np
+
+import _shared
+
+
+def batch_builder(cfg, n):
+    rng = np.random.default_rng(0)
+    s = cfg.vit.img_size
+    return {
+        "image0": jnp.asarray(rng.normal(size=(n, s, s, 3)), jnp.float32),
+        "image1": jnp.asarray(rng.normal(size=(n, s, s, 3)), jnp.float32),
+        "text_ids": jnp.asarray(
+            rng.integers(2, cfg.text.vocab_size, size=(n, 16)), jnp.int32),
+        "text_mask": jnp.ones((n, 16), jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 2, size=(n,)), jnp.int32),
+    }
+
+
+def stack_names(cfg):
+    return [("visual_encoder.blocks", cfg.vit.depth),
+            ("text_encoder.bert.encoder.layer", cfg.text.num_layers)]
+
+
+if __name__ == "__main__":
+    _shared.run("init_nlvr_params", "make_nlvr_adapter", batch_builder,
+                stack_names)

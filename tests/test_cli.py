@@ -503,3 +503,25 @@ def test_model_scale_small_cli_dispatch():
         ["--model", "blip2_t5", "--model_scale", "small",
          "--dtype", "float32"])
     assert args.model_scale == "small" and args.dtype == "float32"
+
+
+@pytest.mark.parametrize("script", ["ecoflap_nlvr.py", "ecoflap_vqa.py",
+                                    "ecoflap_retrieval_flickr.py"])
+def test_upop_task_launchers(script):
+    """The three remaining reference UPop launchers (ecoflap_compress_nlvr /
+    ecoflap_compression_vqa / ecoflap_compression_retrieval_flickr) run
+    end-to-end at tiny scale: prune to ~p with the task loss, then one
+    masked-FT step."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[1] / "scripts" / "upop" / script
+    out = subprocess.run(
+        [sys.executable, str(path), "--platform", "cpu",
+         "--num_samples", "4", "--finetune_steps", "1"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert abs(res["sparsity"] - 0.5) < 0.1
+    assert np.isfinite(res["ft_loss_last"])
