@@ -19,6 +19,9 @@ Env knobs:
                           budget) and emit ONE merged JSON line — headline =
                           the first listed method, others under "methods".
   ECOFLAP_BENCH_SAMPLES   calibration samples (default 128)
+  ECOFLAP_METHOD_TIMEOUT  per-preset subprocess bound, s (default 2700);
+                          ECOFLAP_METHOD_TIMEOUT_PB bounds the slower
+                          reference-exact zeroth_pb preset (default 4200)
   ECOFLAP_BENCH_MESH      e.g. "dp=8" or "dp=4,tp=2" — run the WHOLE pruning
                           pipeline sharded over a (dp, tp) mesh (the v5e-8
                           north-star path). Requires that many devices.
@@ -217,9 +220,14 @@ def multi_method_run(methods) -> None:
 
     results = {}
     # bound each preset so a mid-bench tunnel wedge cannot hang the whole
-    # run: the final merged line still lands with the completed presets
+    # run: the final merged line still lands with the completed presets.
+    # zeroth_pb (reference-exact per-batch sampling, baseline 5985.2 s) is
+    # the one preset whose honest wall can approach the generic bound —
+    # r3 measured its ViT stack alone at 810 s — so it gets its own cap.
     child_timeout = int(os.environ.get("ECOFLAP_METHOD_TIMEOUT", "2700"))
+    pb_timeout = int(os.environ.get("ECOFLAP_METHOD_TIMEOUT_PB", "4200"))
     for m in methods:
+        m_timeout = pb_timeout if m == "zeroth_pb" else child_timeout
         env = dict(os.environ)
         env.pop("ECOFLAP_BENCH_METHODS", None)
         env["ECOFLAP_BENCH_METHOD"] = m
@@ -227,13 +235,13 @@ def multi_method_run(methods) -> None:
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=child_timeout)
+                capture_output=True, text=True, timeout=m_timeout)
         except subprocess.TimeoutExpired as e:
-            log(f"[methods] {m} TIMED OUT after {child_timeout}s")
+            log(f"[methods] {m} TIMED OUT after {m_timeout}s")
             sys.stderr.write((e.stderr or b"").decode("utf-8", "replace")
                              if isinstance(e.stderr, bytes)
                              else (e.stderr or ""))
-            results[m] = {"error": f"timeout {child_timeout}s"}
+            results[m] = {"error": f"timeout {m_timeout}s"}
             continue
         sys.stderr.write(res.stderr)
         if res.returncode != 0:
