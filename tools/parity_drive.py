@@ -61,6 +61,10 @@ def parse_args(argv=None):
                    help="generate tiny fake images/annotations and run the "
                         "whole pipeline on them (CPU smoke)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resume_pth", default=None,
+                   help="skip prune/export/re-import and evaluate straight "
+                        "from an already-exported pruned .pth (resume a "
+                        "drill whose eval leg was cut short)")
     return p.parse_args(argv)
 
 
@@ -126,6 +130,19 @@ def main(argv=None):
     t0 = time.time()
     runner = Runner(args.output_dir, "parity")
     dtype = jnp.bfloat16 if args.scale == "full" else jnp.float32
+
+    if args.resume_pth:
+        # Resume a drill whose eval leg was cut short: skip prune/export,
+        # evaluate from the already-exported reference-contract artifact.
+        pth = args.resume_pth
+        state = ck.load_torch_checkpoint(pth)
+        mats = [v for v in state.values() if getattr(v, "ndim", 0) >= 2]
+        tot = sum(int(m.size) for m in mats)
+        sp = sum(int((m == 0).sum()) for m in mats) / max(tot, 1)
+        del state, mats
+        print(f"[parity] resumed from {pth}: matrix-weight zero fraction "
+              f"{sp:.4f} ({tot} weights) — skipping prune/export legs")
+        return _evaluate_and_diff(args, pth, sp, t0)
 
     # 1. model
     cfg = blip2.blip2_flant5xl() if args.scale == "full" else blip2.tiny_config()
@@ -194,6 +211,11 @@ def main(argv=None):
     del host, fb
     print(f"[parity] .pth round trip exact ({n_tensors} leaves) -> {pth}")
 
+    return _evaluate_and_diff(args, pth, sp, t0)
+
+
+def _evaluate_and_diff(args, pth, sp, t0):
+    """Steps 4-5: evaluate from the exported artifact, diff vs BASELINE."""
     # 4. evaluate from the re-imported artifact via the evaluation CLI
     from ecoflap_tpu.cli import evaluate as eval_cli
 
