@@ -449,12 +449,10 @@ def main() -> None:
     t0 = time.time()
     if method in ("zeroth", "zeroth_pb"):
         if method == "zeroth_pb":
-            # reference-exact sampling preset: per-microbatch noise draws,
-            # nd=32 coarse samples (the 5985.2 s reference variant). Hard
-            # ASSIGN: an inherited ECOFLAP_NOISE_MODE=shared (the zeroth
-            # preset's speed knob) must not silently turn the parity-mode
-            # row into shared noise while it scores against the per-batch
-            # baseline
+            # reference-exact nd=32 preset (the 5985.2 s reference variant).
+            # Hard ASSIGN: an inherited ECOFLAP_NOISE_MODE=shared must not
+            # silently turn the parity-mode row into shared noise while it
+            # scores against the per-batch baseline
             os.environ["ECOFLAP_NOISE_MODE"] = "per_batch"
         pruner = WandaPruner(
             adapter, batch,
@@ -463,10 +461,10 @@ def main() -> None:
             score_method="MEZO-GradOnly_sum",
             num_data_first_stage=(32 if method == "zeroth_pb"
                                   else n_samples),
-            # "shared" (default, fast) | "per_batch" (reference-exact
-            # sampling; validated at XL on TPU — the donated in-place
-            # antithetic cycle keeps it inside the allocation budget)
-            noise_mode=os.environ.get("ECOFLAP_NOISE_MODE", "shared"),
+            # "per_batch" (DEFAULT since round 5: reference-exact sampling,
+            # and with the lane-ensemble scorer also the fastest measured
+            # mode) | "shared" (the former speed deviation, kept as opt-in)
+            noise_mode=os.environ.get("ECOFLAP_NOISE_MODE", "per_batch"),
             **common,
         )
     elif method == "first":
@@ -536,7 +534,7 @@ def main() -> None:
         "eval_chunk": common["eval_chunk_size"],
     }
     if method in ("zeroth", "zeroth_pb"):
-        out["noise_mode"] = os.environ.get("ECOFLAP_NOISE_MODE", "shared")
+        out["noise_mode"] = os.environ.get("ECOFLAP_NOISE_MODE", "per_batch")
         if method == "zeroth_pb":
             out["coarse_samples"] = 32
     if method == "first":

@@ -18,14 +18,16 @@ all calibration data rides in ONE forward per perturbation side: the
 (num_batches × batch_size) samples are stacked and group-means reproduce the
 per-batch losses exactly. Two execution modes:
 
-* ``noise_mode="shared"`` (default, fast): one z per (tensor, noise draw)
-  evaluated against every microbatch in a single big forward. 2·num_noise
-  forwards per tensor at full MXU batch; the estimator remains an unbiased
-  |z·∇L| sample, just with z shared across microbatches (documented deviation
-  from the reference, which draws a fresh z per microbatch).
-* ``noise_mode="per_batch"`` (reference parity): fresh z per microbatch, one
-  forward per (tensor, microbatch, side) at microbatch size — the reference's
-  exact sampling scheme, same FLOPs, more dispatches.
+* ``noise_mode="per_batch"`` (DEFAULT, reference-exact): fresh z per
+  microbatch — the reference's exact sampling scheme. The cost model that
+  once favored "shared" is gone: with SuffixPlan lane ensembles (one vmapped
+  program scores every target of a block at once, see plans.py
+  ``make_lane_scorer``) the per-batch mode is both parity-exact and the
+  fastest measured configuration (BENCH_LOCAL.json).
+* ``noise_mode="shared"``: one z per (tensor, noise draw) shared across all
+  microbatches, evaluated in one big chunked forward per side. Still an
+  unbiased |z·∇L| sample with fewer RNG draws; kept as an option (PARITY.md
+  "Documented deviations", demoted from default in round 5).
 
 Perturbations are functional: ``target.add(params, ±εz)`` builds a tree that
 shares every untouched leaf, replacing the reference's in-place
@@ -216,7 +218,7 @@ def mezo_leaf_scores(
     eps: float = 1e-3,
     num_noise: int = 1,
     key: Optional[jax.Array] = None,
-    noise_mode: str = "shared",
+    noise_mode: str = "per_batch",
     loss_plans: Optional[Sequence[Any]] = None,
     eval_chunks: Optional[int] = None,
     progress: Optional[Callable[[int, str], None]] = None,
@@ -239,6 +241,8 @@ def mezo_leaf_scores(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if noise_mode not in ("shared", "per_batch"):
+        raise ValueError(f"unknown noise_mode {noise_mode!r}")
 
     # shared mode streams all microbatches through one call; chunk the
     # evaluation so activation memory stays bounded. ``eval_chunks`` decouples
@@ -271,7 +275,8 @@ def mezo_leaf_scores(
     warm_env = os.environ.get("ECOFLAP_WARM_PLANS")
     warm_on = (warm_env == "1" if warm_env is not None
                else jax.default_backend() == "tpu")
-    if len(plan_pairs) > 1 and warm_on:
+    ensemble_on = os.environ.get("ECOFLAP_MEZO_ENSEMBLE", "1") == "1"
+    if len(plan_pairs) > 1 and warm_on and not ensemble_on:
         import threading
 
         def _warm(fn, pdata):
@@ -316,9 +321,89 @@ def mezo_leaf_scores(
             pending.clear()
             pending_names.clear()
 
-    for ti, t in enumerate(targets):
-        if progress is not None:
-            progress(ti, t.name)
+    # ---- lane-ensemble grouping (SuffixPlan.make_lane_scorer) -------------
+    # All targets of one block score in ONE vmapped program per (microbatch,
+    # noise, side-pair): K-lane perturbed first block + shared suffix +
+    # lane-batched finish. Same per-(target, batch, noise) PRNG keys as the
+    # serial path, so the estimator is unchanged (vmap reduction order
+    # aside). ECOFLAP_MEZO_ENSEMBLE=0 restores serial scoring.
+    def _plan_entry(name: str):
+        for ent in plan_pairs:
+            if ent[0].match(name):
+                return ent
+        return None
+
+    def _lane_ok(plan, t) -> bool:
+        return (
+            plan is not None
+            and hasattr(plan, "make_lane_scorer")
+            and getattr(getattr(plan, "stack", None), "blocks_path", None)
+            is not None
+            and _has_fast_path(t)
+            and t.block_index is not None
+            and t.tree_path.startswith(plan.stack.blocks_path + ".")
+        )
+
+    lane_scorers: Dict[Any, Any] = {}
+    eps_arr = jnp.asarray(eps, jnp.float32)
+
+    def _lane_scorer(plan, paths):
+        skey = (id(plan), paths, noise_mode)
+        scorer = lane_scorers.get(skey)
+        if scorer is None:
+            if noise_mode == "shared":
+                # keep the per-program activation envelope equal to the
+                # serial chunked loss: K lanes of n/c samples ≈ one serial
+                # chunk, so lane chunks grow with the lane count
+                n_total = plan.batch_size
+                want = min(n_total, max(1, chunks * len(paths)))
+                lane_chunks = next(c for c in range(want, n_total + 1)
+                                   if n_total % c == 0)
+                scorer = plan.make_lane_scorer(
+                    paths, "shared", chunks=lane_chunks,
+                    num_microbatches=num_microbatches)
+            else:
+                scorer = plan.make_lane_scorer(paths, "per_batch")
+            lane_scorers[skey] = scorer
+        return scorer
+
+    def _score_group(i0: int, group: List[Any], plan) -> None:
+        data_g = plan.prepare(params, group[0].name)
+        scorer = _lane_scorer(plan, plan.lane_paths(group))
+        k_lanes = len(group)
+
+        def lane_keys(*folds):
+            out = []
+            for g in range(k_lanes):
+                kk = jax.random.fold_in(key, i0 + g)
+                for f in folds:
+                    kk = jax.random.fold_in(kk, f)
+                out.append(kk)
+            return tuple(out)
+
+        score_vec = jnp.zeros((k_lanes,), jnp.float32)
+        if noise_mode == "shared":
+            for n in range(num_noise):
+                score_vec = score_vec + scorer(
+                    params, data_g, lane_keys(n), eps_arr)
+        else:
+            for b in range(num_microbatches):
+                mb = slice_microbatch(
+                    data_g, b, num_microbatches,
+                    getattr(plan, "static_keys", ()),
+                    getattr(plan, "batch_size", None),
+                )
+                pb_vec = jnp.zeros((k_lanes,), jnp.float32)
+                for n in range(num_noise):
+                    pb_vec = pb_vec + scorer(params, mb, lane_keys(b, n),
+                                             eps_arr)
+                # reference: gradients_dict[name] += |per_batch|  (:549)
+                score_vec = score_vec + jnp.abs(pb_vec)
+        vals = np.asarray(score_vec)
+        for g, tg in enumerate(group):
+            scores[tg.name] = float(vals[g])
+
+    def _score_serial(ti: int, t) -> None:
         plan, loss_jit, tdata = pair_for(t.name)
         tkey = jax.random.fold_in(key, ti)
         shape = t.shape(params)
@@ -380,6 +465,77 @@ def mezo_leaf_scores(
         pending_names.append(t.name)
         if len(pending) >= readback_every:
             flush_pending()
+
+    # Precompute the scoring units: maximal runs of same-(plan, block)
+    # lane-groupable targets, single targets otherwise.
+    units: List[Any] = []  # ("group", i0, [targets], plan) | ("single", ti, t)
+    idx = 0
+    while idx < len(targets):
+        t = targets[idx]
+        ent = _plan_entry(t.name)
+        plan0 = ent[0] if ent is not None else None
+        if ensemble_on and _lane_ok(plan0, t):
+            group = [t]
+            j = idx + 1
+            while j < len(targets):
+                tj = targets[j]
+                entj = _plan_entry(tj.name)
+                if (entj is not None and entj[0] is plan0
+                        and tj.block_index == t.block_index
+                        and _lane_ok(plan0, tj)):
+                    group.append(tj)
+                    j += 1
+                else:
+                    break
+            units.append(("group", idx, group, plan0))
+            idx += len(group)
+        else:
+            units.append(("single", idx, t, None))
+            idx += 1
+
+    # Overlap LATER plans' lane-scorer compiles with the first plan's scoring
+    # (same rationale as the serial plan warm above — each lane program is a
+    # multi-minute remote compile through the axon tunnel). The warm calls
+    # the SAME cached jitted callable with the plan's block-0 data; the
+    # ensemble path never perturbs params in place, so there is no donation
+    # race to worry about — a failed warm only wastes its own thread.
+    if warm_on and ensemble_on:
+        import threading
+
+        seen_plans: List[Any] = []
+        for kind, i0, grp, plan in units:
+            if kind != "group" or any(p is plan for p in seen_plans):
+                continue
+            seen_plans.append(plan)
+            if len(seen_plans) == 1:
+                continue  # first plan's compile is on the critical path
+
+            def _warm_lane(plan=plan, grp=grp, i0=i0):
+                try:
+                    scorer = _lane_scorer(plan, plan.lane_paths(grp))
+                    d = plan.data  # block 0: no advance needed
+                    if noise_mode == "per_batch":
+                        d = slice_microbatch(
+                            d, 0, num_microbatches,
+                            getattr(plan, "static_keys", ()),
+                            getattr(plan, "batch_size", None))
+                    keys = tuple(jax.random.fold_in(key, i0 + g)
+                                 for g in range(len(grp)))
+                    jax.block_until_ready(scorer(params, d, keys, eps_arr))
+                except Exception:
+                    pass
+
+            threading.Thread(target=_warm_lane, daemon=True).start()
+
+    for kind, i0, payload, plan in units:
+        if progress is not None:
+            name = payload[0].name if kind == "group" else payload.name
+            progress(i0, name)
+        if kind == "group":
+            flush_pending()  # keep serial/ensemble result ordering sane
+            _score_group(i0, payload, plan)
+        else:
+            _score_serial(i0, payload)
     flush_pending()
     return scores
 

@@ -37,7 +37,7 @@ from typing import Any, Callable, Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ecoflap_tpu.core.pytree import get_leaf
+from ecoflap_tpu.core.pytree import get_leaf, set_leaf
 from ecoflap_tpu.pruning.adapter import StackSpec
 
 PyTree = Any
@@ -212,3 +212,110 @@ class SuffixPlan:
             self._block += 1
             self._data_cache = None  # X and START changed
         return self.data
+
+    # -- lane-ensemble scoring (mezo.py groups same-block targets) -----------
+    def lane_paths(self, targets) -> tuple:
+        """In-block kernel paths for a group of same-block targets."""
+        pre = self.stack.blocks_path + "."
+        return tuple(t.tree_path[len(pre):] for t in targets)
+
+    def make_lane_scorer(
+        self,
+        paths: tuple,
+        mode: str = "per_batch",
+        chunks: int = 1,
+        num_microbatches: int = 1,
+    ):
+        """ONE jitted program scoring K same-block targets at once.
+
+        Serial MeZO scoring pays 2 suffix-forwards per (target, microbatch,
+        noise) at calibration batch size — through the axon tunnel each is a
+        separate ~ms dispatch of an MXU-underutilized batch-8 program. The
+        lane ensemble evaluates every target of block ``start`` in one
+        program: lane k's FIRST block runs with ``paths[k]``'s kernel
+        perturbed (a K-variant copy of ONE block's params — tens of MB, never
+        the stacked leaf), the suffix (blocks start+1..) and the downstream
+        ``finish_fn`` run lane-batched with SHARED weights (vmap broadcasts
+        them, so no K-fold weight memory). Sampling is bitwise-identical to
+        the serial path: lane k draws ``normal(keys[k], w.shape)`` — the same
+        key and shape the donated in-place path uses — so per-target scores
+        match the serial estimator up to vmap reduction order (tested in
+        tests/test_mezo_ensemble.py).
+
+        Returns a jitted ``score(params, data, keys, eps) -> (K,)``:
+          * mode="per_batch": |L(θ+εz) − L(θ−εz)| / 2ε per lane, where L is
+            the mean loss over the (already-sliced) microbatch — one call per
+            (microbatch, noise draw), reference-exact sampling
+            (layer_single_base_pruner.py:488-561).
+          * mode="shared": Σ_mb |ḡ⁺_mb − ḡ⁻_mb| / 2ε over all microbatches in
+            one call, evaluated in ``chunks`` memory chunks.
+        """
+        fwd = self.stack.block_forward
+        blocks_path = self.stack.blocks_path
+        finish = self.finish_fn
+        static_keys = tuple(self.static_keys)
+        batch_size = self.batch_size
+
+        def build_lanes(params, start, keys, scale):
+            blocks = get_leaf(params, blocks_path)
+            bp = jax.tree_util.tree_map(lambda l: l[start], blocks)
+            variants = []
+            for p, k in zip(paths, keys):
+                w = get_leaf(bp, p)
+                z = (jax.random.normal(k, w.shape, jnp.float32)
+                     * scale).astype(w.dtype)
+                variants.append(set_leaf(bp, p, w + z))
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *variants)
+
+        def lanes_losses(params, data, lanes):
+            blocks = get_leaf(params, blocks_path)
+            x, cache, start = data[X_KEY], data[CACHE_KEY], data[START_KEY]
+            y0 = jax.vmap(lambda bp: fwd(bp, x, cache, None)[0])(lanes)
+            y = jax.vmap(lambda h: masked_suffix_scan(
+                fwd, blocks, h, cache, start + 1))(y0)
+            return jax.vmap(lambda h: finish(params, h, data))(y)  # (K, B)
+
+        if mode == "per_batch":
+            def score(params, data, keys, eps):
+                start = data[START_KEY]
+                lp = lanes_losses(
+                    params, data, build_lanes(params, start, keys, eps))
+                lm = lanes_losses(
+                    params, data, build_lanes(params, start, keys, -eps))
+                return jnp.abs(lp.mean(axis=1) - lm.mean(axis=1)) / (2.0 * eps)
+
+            return jax.jit(score)
+
+        from ecoflap_tpu.pruning.mezo import _is_batch_leaf, _split_static
+
+        def eval_all(params, data, lanes):
+            """(K, N) lane losses over the FULL coarse batch, chunked."""
+            static, dyn = _split_static(data, static_keys)
+            leaves, treedef = jax.tree_util.tree_flatten(dyn)
+            idx = [i for i, l in enumerate(leaves)
+                   if _is_batch_leaf(l, batch_size)]
+            stacked = [leaves[i].reshape(chunks, -1, *leaves[i].shape[1:])
+                       for i in idx]
+
+            def body(mb_leaves):
+                merged = list(leaves)
+                for i, v in zip(idx, mb_leaves):
+                    merged[i] = v
+                d = jax.tree_util.tree_unflatten(treedef, merged)
+                if static:
+                    d = {**d, **static}
+                return lanes_losses(params, d, lanes)
+
+            out = jax.lax.map(body, stacked)  # (chunks, K, b)
+            return jnp.moveaxis(out, 1, 0).reshape(len(paths), -1)
+
+        def score_shared(params, data, keys, eps):
+            start = data[START_KEY]
+            lp = eval_all(params, data, build_lanes(params, start, keys, eps))
+            lm = eval_all(params, data, build_lanes(params, start, keys, -eps))
+            gp = lp.reshape(len(paths), num_microbatches, -1).mean(axis=2)
+            gm = lm.reshape(len(paths), num_microbatches, -1).mean(axis=2)
+            return jnp.sum(jnp.abs(gp - gm), axis=1) / (2.0 * eps)
+
+        return jax.jit(score_shared)

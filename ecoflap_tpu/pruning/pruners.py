@@ -74,7 +74,7 @@ class TwoStagePruner:
         prune_per_model: bool = False,
         prune_n: int = 0,
         prune_m: int = 0,
-        noise_mode: str = "shared",
+        noise_mode: str = "per_batch",
         key: Optional[jax.Array] = None,
         eval_chunk_size: Optional[int] = None,
         # bool | list of stack names. Default ON: TPU-validated at XL for
@@ -470,7 +470,7 @@ class GlobalPruner:
         num_noise: int = 1,
         noise_eps: float = 1e-3,
         key: Optional[jax.Array] = None,
-        noise_mode: str = "shared",
+        noise_mode: str = "per_batch",
         verbose: bool = True,
         **kwargs: Any,
     ) -> None:

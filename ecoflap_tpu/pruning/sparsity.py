@@ -76,7 +76,7 @@ def compute_layer_sparsity(
     prune_per_model: bool = False,
     per_model_group: Sequence[str] = (),
     key: Optional[jax.Array] = None,
-    noise_mode: str = "shared",
+    noise_mode: str = "per_batch",
     first_order_batches: Optional[Sequence[Any]] = None,
     partition_prefixes: Optional[Sequence[str]] = None,
     loss_plans: Optional[Sequence[Any]] = None,
