@@ -258,8 +258,11 @@ def make_vqa_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
             x.shape[1])
         return x, cache
 
+    # reference sparsity-key prefix: the VQA question encoder is a bare
+    # BertModel — "text_encoder.encoder.layer", no ".bert." segment
+    # (UPop/pruners/wanda_pruner.py:813-818)
     enc_stack = bert_mod.make_bert_stack(
-        enc_cfg, "text_encoder.bert.encoder.layer", "text_encoder.blocks",
+        enc_cfg, "text_encoder.encoder.layer", "text_encoder.blocks",
         enc_prepare)
     dec_stack = bert_mod.make_bert_stack(
         cfg.text, "text_decoder.bert.encoder.layer", "text_decoder.blocks",
@@ -283,7 +286,13 @@ def make_vqa_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
 
 def init_retrieval_params(cfg: Blip1Config, key: jax.Array,
                           dtype=jnp.float32) -> PyTree:
+    """BLIP retrieval/ITM tower set (UPop/models/blip_retrieval.py:40-53):
+    ViT + bidirectional ``text_encoder`` (BertModel — checkpoint keys have NO
+    ``.bert.`` segment, unlike the caption decoder) + vision_proj/text_proj +
+    2-way itm_head. Momentum copies (*_m) are eval-only EMA shadows and are
+    not rebuilt."""
     base = init_params(cfg, key, dtype)
+    base["text_encoder"] = base.pop("text_decoder")
     d = cfg.text.hidden_size
     k = jax.random.fold_in(key, 123)
     base["itm_head"] = {
@@ -298,7 +307,7 @@ def itm_logits(cfg: Blip1Config, params: PyTree, images, ids, mask) -> jax.Array
     image, [CLS] -> itm_head (blip_itm.py itm branch)."""
     img = encode_image(cfg, params, images)
     enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False})
-    hidden = bert_mod.forward(enc_cfg, params["text_decoder"], ids, mask, img)
+    hidden = bert_mod.forward(enc_cfg, params["text_encoder"], ids, mask, img)
     cls = hidden[:, 0]
     return (jnp.dot(cls, params["itm_head"]["kernel"],
                     preferred_element_type=jnp.float32)
@@ -320,7 +329,10 @@ def make_retrieval_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
     """Retrieval pruning adapter: same ViT + text towers as the captioner,
     but the text stack streams the ITM path (bidirectional self-attn,
     cross-attn to the image) and the calibration loss is ITM-CE — so Wanda/
-    SparseGPT activation stats match what the ITM head actually sees."""
+    SparseGPT activation stats match what the ITM head actually sees.
+    Sparsity keys use the reference BertModel prefix
+    ``text_encoder.encoder.layer`` (wanda_pruner.py:821-823: no ``.bert.``
+    segment outside the caption/vqa decoders)."""
     vit_stack = eva_vit.make_stack(
         cfg.vit, name="visual_encoder.blocks",
         blocks_path="visual_encoder.blocks")
@@ -328,7 +340,7 @@ def make_retrieval_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
 
     def bert_prepare(p, batch):
         img = encode_image(cfg, p, batch["image"])
-        x = bert_mod.embed(enc_cfg, p["text_decoder"], batch["caption_ids"])
+        x = bert_mod.embed(enc_cfg, p["text_encoder"], batch["caption_ids"])
         cache = bert_mod.make_cache(
             enc_cfg, batch["caption_mask"], img,
             jnp.ones(img.shape[:2], jnp.int32), x.shape[1],
@@ -336,8 +348,8 @@ def make_retrieval_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
         return x, cache
 
     bert_stack = bert_mod.make_bert_stack(
-        enc_cfg, name="text_decoder.bert.encoder.layer",
-        blocks_path="text_decoder.blocks", prepare_inputs=bert_prepare,
+        enc_cfg, name="text_encoder.encoder.layer",
+        blocks_path="text_encoder.blocks", prepare_inputs=bert_prepare,
     )
 
     def loss_fn(p, batch):
@@ -356,7 +368,7 @@ def make_retrieval_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
 
         def text_loss(pp, b):
             hidden = bert_mod.forward(
-                enc_cfg, pp["text_decoder"], b["caption_ids"],
+                enc_cfg, pp["text_encoder"], b["caption_ids"],
                 b["caption_mask"], b["image_embeds"],
             )
             logits = (jnp.dot(hidden[:, 0], pp["itm_head"]["kernel"],
@@ -365,7 +377,7 @@ def make_retrieval_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
             return -jax.nn.log_softmax(logits, axis=-1)[:, 1]
 
         return [LossPlan(
-            match=lambda name: name.startswith("text_decoder."),
+            match=lambda name: name.startswith("text_encoder."),
             loss_fn=text_loss, data=data,
         )]
 
@@ -374,7 +386,7 @@ def make_retrieval_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
         stacks=[vit_stack, bert_stack],
         model_prefixes={
             vit_stack.name: "visual_encoder",
-            bert_stack.name: "text_decoder",
+            bert_stack.name: "text_encoder",
         },
         build_mezo_plans=build_mezo_plans,
     )
@@ -390,7 +402,7 @@ def retrieval_sim_matrix(cfg: Blip1Config, params: PyTree, images, texts_ids,
     iv = iv / jnp.linalg.norm(iv, axis=-1, keepdims=True)
     enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False,
                                      "add_cross_attention": False})
-    hidden = bert_mod.forward(enc_cfg, params["text_decoder"], texts_ids,
+    hidden = bert_mod.forward(enc_cfg, params["text_encoder"], texts_ids,
                               texts_mask)
     tv = jnp.dot(hidden[:, 0], params["text_proj"]["kernel"],
                  preferred_element_type=jnp.float32) + params["text_proj"]["bias"]
@@ -403,14 +415,20 @@ def retrieval_sim_matrix(cfg: Blip1Config, params: PyTree, images, texts_ids,
 # ---------------------------------------------------------------------------
 
 def init_nlvr_params(cfg: Blip1Config, key: jax.Array, dtype=jnp.float32) -> PyTree:
-    """BLIP-NLVR: shared ViT over both images; text encoder whose cross
-    attention runs TWIN streams (image0/image1) with separate output denses,
-    averaged for the first half of the stack and linearly merged for the
-    second (nlvr_encoder.py:239-251,269); 2-way cls head on [CLS]."""
+    """BLIP-NLVR: shared ViT over both images; ``text_encoder`` (BertModel,
+    checkpoint keys WITHOUT ``.bert.``) whose cross attention runs TWIN
+    streams with fully separate self0/self1 q/k/v (nlvr_encoder.py:262-268)
+    and separate output denses — averaged for layers < 6, linearly merged by
+    ``merge_layer`` for layers >= 6 (nlvr_encoder.py:239-253; the merge flag
+    is set at layer_num >= 6); 2-way MLP cls head on [CLS]
+    (blip_nlvr.py:44-47)."""
     base = init_params(cfg, key, dtype)
+    base.pop("vision_proj", None)  # BLIP_NLVR has no ITC projections
+    base.pop("text_proj", None)
+    base["text_encoder"] = base.pop("text_decoder")
     d = cfg.text.hidden_size
     L = cfg.text.num_layers
-    ks = jax.random.split(jax.random.fold_in(key, 99), 3)
+    ks = jax.random.split(jax.random.fold_in(key, 99), 6)
 
     def dense(k, din, dout):
         return {
@@ -418,9 +436,17 @@ def init_nlvr_params(cfg: Blip1Config, key: jax.Array, dtype=jnp.float32) -> PyT
             "bias": jnp.zeros((L, dout), dtype),
         }
 
-    blocks = base["text_decoder"]["blocks"]
-    blocks["cross"]["out1"] = dense(ks[0], d, d)
-    blocks["cross"]["merge"] = dense(ks[1], 2 * d, d)
+    blocks = base["text_encoder"]["blocks"]
+    cp = blocks["cross"]
+    cp["query1"] = dense(ks[3], d, d)
+    cp["key1"] = dense(ks[4], cfg.text.encoder_width, d)
+    cp["value1"] = dense(ks[5], cfg.text.encoder_width, d)
+    cp["out1"] = dense(ks[0], d, d)
+    cp["merge"] = dense(ks[1], 2 * d, d)
+    # static per-layer merge flag (reference: merge_layer only for layers
+    # >= 6); rides the stacked blocks tree so lax.scan sees it per step.
+    # Not a ``.kernel`` leaf, so the pruning walk never touches it.
+    cp["merge_on"] = (jnp.arange(L) >= min(6, L - 1)).astype(dtype)[:, None]
     base["cls_head"] = {
         "dense": {
             "kernel": (jax.random.normal(ks[2], (d, d), jnp.float32) * 0.02).astype(dtype),
@@ -436,11 +462,12 @@ def init_nlvr_params(cfg: Blip1Config, key: jax.Array, dtype=jnp.float32) -> PyT
 
 def nlvr_block_forward(cfg: Blip1Config, bp: PyTree, x: jax.Array, cache,
                        collect=None):
-    """Twin-cross BERT layer: shared cross q/k/v weights over both image
-    streams; separate output denses; merge by mean (merge kernel zero-init
-    stacks can emulate the <6-layer average via the merge weights loaded from
-    checkpoints — here the merge linear runs on every layer, covering both
-    reference behaviours once weights are imported)."""
+    """Twin-cross BERT layer (nlvr_encoder.py BertAttention/BertSelfOutput):
+    stream i runs its OWN q/k/v (self0/self1, :262-268) against image i's
+    features and its own output dense (dense0/dense1); layers < 6 average
+    the two dense outputs, layers >= 6 concatenate and pass ``merge_layer``
+    (:246-253) — selected per layer by the static ``merge_on`` flag riding
+    the stacked params (both paths compute; the merge matmul is tiny)."""
     from ecoflap_tpu.models.bert import _bert_attn, _proj
     from ecoflap_tpu.models.layers import attention as mha
     from ecoflap_tpu.models.layers import collect_stats, layer_norm
@@ -451,27 +478,30 @@ def nlvr_block_forward(cfg: Blip1Config, bp: PyTree, x: jax.Array, cache,
     x = _bert_attn(tcfg, bp["attn"], x, x, self_bias, stats, "attention", collect)
 
     cp = bp["cross"]
-    collect_stats(stats, "crossattention.self.query", x, collect)
-    q = _proj(cp["query"], x)
 
-    def one_stream(enc, bias, out_name):
+    def one_stream(which, enc, bias):
+        sfx = "" if which == 0 else "1"
         kv = enc.astype(x.dtype)
-        collect_stats(stats, "crossattention.self.key", kv, collect)
-        collect_stats(stats, "crossattention.self.value", kv, collect)
-        k = _proj(cp["key"], kv)
-        v = _proj(cp["value"], kv)
+        collect_stats(stats, f"crossattention.self{which}.query", x, collect)
+        collect_stats(stats, f"crossattention.self{which}.key", kv, collect)
+        collect_stats(stats, f"crossattention.self{which}.value", kv, collect)
+        q = _proj(cp["query" + sfx], x)
+        k = _proj(cp["key" + sfx], kv)
+        v = _proj(cp["value" + sfx], kv)
         o = mha(q, k, v, tcfg.num_heads, bias=bias)
-        collect_stats(stats, out_name, o, collect)
-        return o
+        collect_stats(stats, f"crossattention.output.dense{which}", o,
+                      collect)
+        return _proj(cp["out" + sfx], o)
 
-    o0 = one_stream(enc0, cross_bias0, "crossattention.output.dense")
-    o1 = one_stream(enc1, cross_bias1, "crossattention.output.dense1")
-    h0 = _proj(cp["out"], o0)
-    h1 = _proj(cp["out1"], o1)
+    h0 = one_stream(0, enc0, cross_bias0)
+    h1 = one_stream(1, enc1, cross_bias1)
     cat = jnp.concatenate([h0, h1], axis=-1)
-    collect_stats(stats, "crossattention.merge", cat, collect)
+    collect_stats(stats, "crossattention.output.merge_layer", cat, collect)
     merged = _proj(cp["merge"], cat)
-    x = layer_norm(cp["ln"], merged + x, tcfg.ln_eps)
+    avg = (h0 + h1) * 0.5
+    f = cp["merge_on"].astype(merged.dtype)  # (1,) under the block scan
+    mixed = merged * f + avg * (1.0 - f)
+    x = layer_norm(cp["ln"], mixed + x, tcfg.ln_eps)
 
     collect_stats(stats, "intermediate.dense", x, collect)
     h = jax.nn.gelu(_proj(bp["ffn"]["intermediate"], x), approximate=False)
@@ -485,7 +515,7 @@ def nlvr_forward(cfg: Blip1Config, params: PyTree, batch) -> jax.Array:
     img0 = encode_image(cfg, params, batch["image0"])
     img1 = encode_image(cfg, params, batch["image1"])
     ids, mask = batch["text_ids"], batch["text_mask"]
-    x = bert_mod.embed(cfg.text, params["text_decoder"], ids)
+    x = bert_mod.embed(cfg.text, params["text_encoder"], ids)
     from ecoflap_tpu.models.layers import mask_bias
 
     cache = (mask_bias(mask),
@@ -499,7 +529,7 @@ def nlvr_forward(cfg: Blip1Config, params: PyTree, batch) -> jax.Array:
 
     from ecoflap_tpu.models.layers import tower_scan
 
-    x, _ = tower_scan(body, x, params["text_decoder"]["blocks"])
+    x, _ = tower_scan(body, x, params["text_encoder"]["blocks"])
     cls = x[:, 0]
     h = (jnp.dot(cls, params["cls_head"]["dense"]["kernel"],
                  preferred_element_type=jnp.float32)
@@ -536,7 +566,7 @@ def make_nlvr_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
 
         img0 = encode_image(cfg, p, batch["image0"])
         img1 = encode_image(cfg, p, batch["image1"])
-        x = bert_mod.embed(cfg.text, p["text_decoder"], batch["text_ids"])
+        x = bert_mod.embed(cfg.text, p["text_encoder"], batch["text_ids"])
         cache = (mask_bias(batch["text_mask"]),
                  mask_bias(jnp.ones(img0.shape[:2], jnp.int32)),
                  mask_bias(jnp.ones(img1.shape[:2], jnp.int32)),
@@ -545,24 +575,44 @@ def make_nlvr_adapter(cfg: Blip1Config, params: PyTree) -> ModelAdapter:
 
     from ecoflap_tpu.models.adapters import make_stack as _mk
 
-    nlvr_linears = bert_mod.LINEAR_NAMES + (
-        "crossattention.output.dense1", "crossattention.merge",
+    # reference-named twin-stream linears (nlvr_encoder.py; sparsity keys
+    # f"text_encoder.encoder.layer.{i}.{name}.weight" — the NLVR BertModel
+    # has no ``.bert.`` segment, wanda_pruner.py:821-823)
+    nlvr_linears = tuple(
+        n for n in bert_mod.LINEAR_NAMES if not n.startswith("crossattention")
+    ) + (
+        "crossattention.self0.query", "crossattention.self0.key",
+        "crossattention.self0.value",
+        "crossattention.self1.query", "crossattention.self1.key",
+        "crossattention.self1.value",
+        "crossattention.output.dense0", "crossattention.output.dense1",
+        "crossattention.output.merge_layer",
     )
-    local_to_path = dict(bert_mod.LOCAL_TO_PATH)
-    local_to_path["crossattention.output.dense1"] = "cross.out1"
-    local_to_path["crossattention.merge"] = "cross.merge"
+    local_to_path = {k: v for k, v in bert_mod.LOCAL_TO_PATH.items()
+                     if not k.startswith("crossattention")}
+    local_to_path.update({
+        "crossattention.self0.query": "cross.query",
+        "crossattention.self0.key": "cross.key",
+        "crossattention.self0.value": "cross.value",
+        "crossattention.self1.query": "cross.query1",
+        "crossattention.self1.key": "cross.key1",
+        "crossattention.self1.value": "cross.value1",
+        "crossattention.output.dense0": "cross.out",
+        "crossattention.output.dense1": "cross.out1",
+        "crossattention.output.merge_layer": "cross.merge",
+    })
 
     def _fwd(bp, x, cache, collect=None):
         return nlvr_block_forward(cfg, bp, x, cache, collect)
 
     bert_stack = _mk(
-        name="text_encoder.bert.encoder.layer",
+        name="text_encoder.encoder.layer",
         num_blocks=cfg.text.num_layers,
         linear_names=nlvr_linears,
         per_row_mask=True,
         prepare_inputs=bert_prepare,
         block_forward=_fwd,
-        blocks_path="text_decoder.blocks",
+        blocks_path="text_encoder.blocks",
         local_to_path=local_to_path,
     )
 

@@ -178,11 +178,15 @@ def _load_blip1(kind: str, model_type: str, dtype, ckpt, seed) -> ModelBundle:
                            blip1.make_retrieval_adapter),
     }
     init_fn, adapter_factory = init_fns[kind]
-    if ckpt:
-        raise NotImplementedError(
-            f"{kind}: no torch converter wired for UPop BLIP checkpoints yet"
-        )
     params = _init(init_fn, cfg, seed, dt)
+    if ckpt:
+        # strict=False semantics (UPop/models/blip.py:439 load_checkpoint):
+        # checkpoint tensors override; components the .pth lacks (task heads
+        # when loading the base caption checkpoint) keep their init
+        from ecoflap_tpu.utils import checkpoint as ck
+
+        params = ck.convert_blip1(
+            ck.load_torch_checkpoint(ckpt), cfg, kind, params, dtype=dt)
     return ModelBundle(kind, model_type, cfg, params, adapter_factory)
 
 
@@ -218,10 +222,12 @@ def load_blip2_opt(model_type: str = "pretrain_opt2.7b", *, dtype=None,
     cfg = _resolve(table, "blip2_opt", model_type)
     dt = _auto_dtype(model_type, dtype)
     if ckpt:
-        raise NotImplementedError(
-            "blip2_opt: composite torch import not wired; use convert_opt/"
-            "convert_eva_vit/convert_qformer per tower")
-    params = _init(blip2_opt.init_params, cfg, seed, dt)
+        from ecoflap_tpu.utils import checkpoint as ck
+
+        params = ck.convert_blip2_opt(ck.load_torch_checkpoint(ckpt), cfg,
+                                      dtype=dt)
+    else:
+        params = _init(blip2_opt.init_params, cfg, seed, dt)
     return ModelBundle("blip2_opt", model_type, cfg, params,
                        blip2_opt.make_adapter,
                        extras={"generate": blip2_opt.generate})
@@ -256,13 +262,12 @@ def load_classifier(name: str):
         cfg, init_fn, fwd, img, ncls = classifiers.build(name, model_type)
         dt = _auto_dtype(model_type, dtype)
         if ckpt:
-            if name != "deit":
-                raise NotImplementedError(
-                    "convnext: no torch converter (cli/prune.py guard)")
             from ecoflap_tpu.utils import checkpoint as ck
 
-            params = ck.convert_eva_vit(ck.load_torch_checkpoint(ckpt), cfg,
-                                        dtype=dt)
+            state = ck.load_torch_checkpoint(ckpt)
+            params = (ck.convert_eva_vit(state, cfg, dtype=dt)
+                      if name == "deit"
+                      else ck.convert_convnext(state, cfg, dtype=dt))
         else:
             params = _init(init_fn, cfg, seed, dt)
         factory = (classifiers.make_vit_classifier_adapter if name == "deit"

@@ -594,3 +594,433 @@ def remap_eva_clip_to_blip2(state: StateDict) -> StateDict:
     """``visual.`` -> ``visual_encoder.`` cross-model key remap
     (wanda_pruner.py:570-585)."""
     return {re.sub(r"^visual\.", "visual_encoder.", k): v for k, v in state.items()}
+
+
+def export_bert_stack(params: PyTree, cfg, prefix: str) -> StateDict:
+    """Inverse of convert_bert_stack (BLIP med-BERT key naming)."""
+    out: StateDict = {}
+    e = params["embeddings"]
+    out[prefix + "embeddings.word_embeddings.weight"] = np.asarray(
+        e["word"], np.float32)
+    out[prefix + "embeddings.position_embeddings.weight"] = np.asarray(
+        e["position"], np.float32)
+    out[prefix + "embeddings.LayerNorm.weight"] = np.asarray(
+        e["ln"]["scale"], np.float32)
+    out[prefix + "embeddings.LayerNorm.bias"] = np.asarray(
+        e["ln"]["bias"], np.float32)
+    b = params["blocks"]
+
+    def dense(i, sub, p):
+        out[f"{prefix}encoder.layer.{i}.{sub}.weight"] = np.asarray(
+            p["kernel"][i], np.float32).T
+        out[f"{prefix}encoder.layer.{i}.{sub}.bias"] = np.asarray(
+            p["bias"][i], np.float32)
+
+    def ln(i, sub, p):
+        out[f"{prefix}encoder.layer.{i}.{sub}.weight"] = np.asarray(
+            p["scale"][i], np.float32)
+        out[f"{prefix}encoder.layer.{i}.{sub}.bias"] = np.asarray(
+            p["bias"][i], np.float32)
+
+    for i in range(cfg.num_layers):
+        dense(i, "attention.self.query", b["attn"]["query"])
+        dense(i, "attention.self.key", b["attn"]["key"])
+        dense(i, "attention.self.value", b["attn"]["value"])
+        dense(i, "attention.output.dense", b["attn"]["out"])
+        ln(i, "attention.output.LayerNorm", b["attn"]["ln"])
+        if "cross" in b and "query1" not in b["cross"]:
+            dense(i, "crossattention.self.query", b["cross"]["query"])
+            dense(i, "crossattention.self.key", b["cross"]["key"])
+            dense(i, "crossattention.self.value", b["cross"]["value"])
+            dense(i, "crossattention.output.dense", b["cross"]["out"])
+            ln(i, "crossattention.output.LayerNorm", b["cross"]["ln"])
+        elif "cross" in b:  # NLVR twin streams (nlvr_encoder.py:262-268)
+            cp = b["cross"]
+            dense(i, "crossattention.self0.query", cp["query"])
+            dense(i, "crossattention.self0.key", cp["key"])
+            dense(i, "crossattention.self0.value", cp["value"])
+            dense(i, "crossattention.self1.query", cp["query1"])
+            dense(i, "crossattention.self1.key", cp["key1"])
+            dense(i, "crossattention.self1.value", cp["value1"])
+            dense(i, "crossattention.output.dense0", cp["out"])
+            dense(i, "crossattention.output.dense1", cp["out1"])
+            ln(i, "crossattention.output.LayerNorm", cp["ln"])
+            if float(np.asarray(cp["merge_on"][i]).reshape(())) > 0:
+                # merge_layer modules only exist for layers >= 6 in the
+                # reference; averaged layers have no keys to emit
+                dense(i, "crossattention.output.merge_layer", cp["merge"])
+        dense(i, "intermediate.dense", b["ffn"]["intermediate"])
+        dense(i, "output.dense", b["ffn"]["out"])
+        ln(i, "output.LayerNorm", b["ffn"]["ln"])
+    if "cls" in params:
+        cls_prefix = prefix.replace("bert.", "cls.")
+        c = params["cls"]
+        out[cls_prefix + "predictions.transform.dense.weight"] = np.asarray(
+            c["transform"]["kernel"], np.float32).T
+        out[cls_prefix + "predictions.transform.dense.bias"] = np.asarray(
+            c["transform"]["bias"], np.float32)
+        out[cls_prefix + "predictions.transform.LayerNorm.weight"] = np.asarray(
+            c["transform_ln"]["scale"], np.float32)
+        out[cls_prefix + "predictions.transform.LayerNorm.bias"] = np.asarray(
+            c["transform_ln"]["bias"], np.float32)
+        out[cls_prefix + "predictions.bias"] = np.asarray(
+            c["decoder_bias"], np.float32)
+        # tied decoder (med.py BertLMPredictionHead: decoder.weight is the
+        # word embedding; HF state_dicts carry it explicitly)
+        out[cls_prefix + "predictions.decoder.weight"] = np.asarray(
+            e["word"], np.float32)
+        out[cls_prefix + "predictions.decoder.bias"] = np.asarray(
+            c["decoder_bias"], np.float32)
+    return out
+
+
+def _convert_nlvr_text(state: StateDict, cfg, prefix: str,
+                       dtype=jnp.float32) -> PyTree:
+    """NLVR twin-cross text tower (nlvr_encoder.py). Handles both trained
+    NLVR checkpoints (self0/self1/dense0/dense1/merge_layer keys) and BASE
+    BLIP checkpoints, where blip_nlvr.load_checkpoint (:388-398) duplicates
+    the single-stream crossattention keys into both twins."""
+    st = dict(state)
+    for k in list(st):
+        if ".crossattention.self." in k:
+            st.setdefault(k.replace(".self.", ".self0."), st[k])
+            st.setdefault(k.replace(".self.", ".self1."), st[k])
+        elif ".crossattention.output.dense." in k:
+            st.setdefault(k.replace(".dense.", ".dense0."), st[k])
+            st.setdefault(k.replace(".dense.", ".dense1."), st[k])
+    # alias stream0 onto the single-stream names convert_bert_stack reads
+    for k in list(st):
+        if ".crossattention.self0." in k:
+            st.setdefault(k.replace(".self0.", ".self."), st[k])
+        elif ".crossattention.output.dense0." in k:
+            st.setdefault(k.replace(".dense0.", ".dense."), st[k])
+    out = convert_bert_stack(st, cfg, prefix, dtype)
+    L = cfg.num_layers
+    p = prefix + "encoder.layer.{i}."
+    cp = out["blocks"]["cross"]
+
+    def dense(sub):
+        return _cast({"kernel": _stack_t(st, p + sub + ".weight", L),
+                      "bias": _stack(st, p + sub + ".bias", L)}, dtype)
+
+    cp["query1"] = dense("crossattention.self1.query")
+    cp["key1"] = dense("crossattention.self1.key")
+    cp["value1"] = dense("crossattention.self1.value")
+    cp["out1"] = dense("crossattention.output.dense1")
+    # merge_layer exists only for layers >= 6 (nlvr_encoder.py:240-243);
+    # averaged layers zero-fill (never used: merge_on gates them off)
+    d = cfg.hidden_size
+    mk, mb = [], []
+    for i in range(L):
+        wkey = f"{prefix}encoder.layer.{i}.crossattention.output.merge_layer.weight"
+        if wkey in st:
+            mk.append(np.asarray(st[wkey], np.float32).T)
+            mb.append(np.asarray(
+                st[wkey.replace(".weight", ".bias")], np.float32))
+        else:
+            mk.append(np.zeros((2 * d, d), np.float32))
+            mb.append(np.zeros((d,), np.float32))
+    cp["merge"] = _cast({"kernel": np.stack(mk), "bias": np.stack(mb)}, dtype)
+    cp["merge_on"] = jnp.asarray(
+        (np.arange(L) >= min(6, L - 1)).astype(np.float32)[:, None], dtype)
+    return out
+
+
+def _linear(state: StateDict, name: str, dtype) -> PyTree:
+    return {"kernel": jnp.asarray(state[f"{name}.weight"].T, dtype),
+            "bias": jnp.asarray(state[f"{name}.bias"], dtype)}
+
+
+def convert_blip1(state: StateDict, cfg, kind: str, init: PyTree,
+                  dtype=jnp.float32) -> PyTree:
+    """UPop BLIP torch checkpoint -> task-model pytree.
+
+    Mirrors the reference loaders (``UPop/models/blip.py:439``
+    load_checkpoint + per-task variants): ``load_state_dict(strict=False)``
+    semantics — components present in the checkpoint are imported, components
+    the checkpoint lacks (e.g. a base caption checkpoint feeding the
+    retrieval model's itm_head, or NLVR's cls_head) keep their values from
+    ``init``. Momentum (*_m) shadows and ``temp`` are eval-time EMA state the
+    functional rebuild does not carry.
+
+    Key layouts per kind:
+      blip_caption   visual_encoder.* + text_decoder.bert.* (+ cls)
+      blip_vqa       + text_encoder.* (BertModel, NO .bert. segment)
+      blip_nlvr      text_encoder.* twin cross (self0/self1/dense0/dense1/
+                     merge_layer for layers >= 6) + cls_head.{0,2}
+      blip_retrieval text_encoder.* + vision_proj/text_proj/itm_head
+    """
+    import jax as _jax
+
+    out = _jax.tree_util.tree_map(lambda x: x, init)
+    out["visual_encoder"] = convert_eva_vit(
+        state, cfg.vit, "visual_encoder.", dtype)
+
+    def graft_cls(tree, converted):
+        # BertModel towers have no cls head in the checkpoint; keep init's
+        # (unused by the encoder forward) so the pytree structure is stable
+        if "cls" not in converted and "cls" in tree:
+            converted["cls"] = tree["cls"]
+        return converted
+
+    from ecoflap_tpu.models import bert as bert_mod
+
+    enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False})
+    if kind == "blip_caption":
+        out["text_decoder"] = convert_bert_stack(
+            state, cfg.text, "text_decoder.bert.", dtype)
+    elif kind == "blip_vqa":
+        out["text_encoder"] = graft_cls(out["text_encoder"], convert_bert_stack(
+            state, enc_cfg, "text_encoder.", dtype))
+        out["text_decoder"] = convert_bert_stack(
+            state, cfg.text, "text_decoder.bert.", dtype)
+    elif kind == "blip_nlvr":
+        out["text_encoder"] = graft_cls(
+            out["text_encoder"],
+            _convert_nlvr_text(state, enc_cfg, "text_encoder.", dtype))
+        if "cls_head.0.weight" in state:
+            out["cls_head"] = {"dense": _linear(state, "cls_head.0", dtype),
+                               "out": _linear(state, "cls_head.2", dtype)}
+    elif kind == "blip_retrieval":
+        out["text_encoder"] = graft_cls(out["text_encoder"], convert_bert_stack(
+            state, enc_cfg, "text_encoder.", dtype))
+        for head in ("vision_proj", "text_proj", "itm_head"):
+            if f"{head}.weight" in state:
+                out[head] = _linear(state, head, dtype)
+    else:
+        raise ValueError(f"unknown BLIP-1 kind {kind!r}")
+    if kind in ("blip_caption", "blip_vqa"):
+        for head in ("vision_proj", "text_proj"):
+            if f"{head}.weight" in state and head in out:
+                out[head] = _linear(state, head, dtype)
+    return out
+
+
+def export_blip1(params: PyTree, cfg, kind: str) -> StateDict:
+    """Task-model pytree -> reference-named torch state dict (the UPop
+    ``--pretrained``-compatible artifact; inverse of convert_blip1)."""
+    from ecoflap_tpu.models import bert as bert_mod
+
+    out = export_eva_vit(params["visual_encoder"], cfg.vit, "visual_encoder.")
+    enc_cfg = bert_mod.BertConfig(**{**cfg.text.__dict__, "causal": False})
+    if kind == "blip_caption":
+        out.update(export_bert_stack(params["text_decoder"], cfg.text,
+                                     "text_decoder.bert."))
+    elif kind == "blip_vqa":
+        enc = dict(params["text_encoder"])
+        enc.pop("cls", None)  # BertModel: no prediction head in checkpoints
+        out.update(export_bert_stack(enc, enc_cfg, "text_encoder."))
+        out.update(export_bert_stack(params["text_decoder"], cfg.text,
+                                     "text_decoder.bert."))
+    elif kind == "blip_nlvr":
+        enc = dict(params["text_encoder"])
+        enc.pop("cls", None)
+        out.update(export_bert_stack(enc, enc_cfg, "text_encoder."))
+        out["cls_head.0.weight"] = np.asarray(
+            params["cls_head"]["dense"]["kernel"], np.float32).T
+        out["cls_head.0.bias"] = np.asarray(
+            params["cls_head"]["dense"]["bias"], np.float32)
+        out["cls_head.2.weight"] = np.asarray(
+            params["cls_head"]["out"]["kernel"], np.float32).T
+        out["cls_head.2.bias"] = np.asarray(
+            params["cls_head"]["out"]["bias"], np.float32)
+    elif kind == "blip_retrieval":
+        enc = dict(params["text_encoder"])
+        enc.pop("cls", None)
+        out.update(export_bert_stack(enc, enc_cfg, "text_encoder."))
+        for head in ("vision_proj", "text_proj", "itm_head"):
+            out[f"{head}.weight"] = np.asarray(
+                params[head]["kernel"], np.float32).T
+            out[f"{head}.bias"] = np.asarray(params[head]["bias"], np.float32)
+    else:
+        raise ValueError(f"unknown BLIP-1 kind {kind!r}")
+    if kind == "blip_caption":
+        for head in ("vision_proj", "text_proj"):
+            if head in params:
+                out[f"{head}.weight"] = np.asarray(
+                    params[head]["kernel"], np.float32).T
+                out[f"{head}.bias"] = np.asarray(
+                    params[head]["bias"], np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BLIP2-OPT composite (blip2_opt.py:55-94 attribute names)
+# ---------------------------------------------------------------------------
+
+def convert_blip2_opt(state: StateDict, cfg, dtype=jnp.float32,
+                      vit_dtype=None, opt_dtype=None) -> PyTree:
+    """Full Blip2OPT checkpoint -> composition pytree. Reference top-level
+    naming: visual_encoder.*, ln_vision.*, query_tokens, Qformer.bert.*,
+    opt_proj.*, opt_model.model.decoder.* (lm_head is tied to embed_tokens
+    and ignored on import)."""
+    return {
+        "visual_encoder": convert_eva_vit(
+            state, cfg.vit, "visual_encoder.", vit_dtype or dtype),
+        "ln_vision": {"scale": jnp.asarray(state["ln_vision.weight"], dtype),
+                      "bias": jnp.asarray(state["ln_vision.bias"], dtype)},
+        "query_tokens": jnp.asarray(state["query_tokens"], dtype),
+        "qformer": convert_qformer(state, cfg.qformer, "Qformer.bert.", dtype),
+        "opt_proj": _linear(state, "opt_proj", dtype),
+        "opt_model": convert_opt(state, cfg.opt, "opt_model.model.decoder.",
+                                 opt_dtype or dtype),
+    }
+
+
+def export_opt(params: PyTree, cfg, prefix: str = "model.decoder.") -> StateDict:
+    """Inverse of convert_opt (HF OPT decoder naming; lm_head emitted tied)."""
+    out: StateDict = {
+        prefix + "embed_tokens.weight": np.asarray(
+            params["embed_tokens"], np.float32),
+        prefix + "embed_positions.weight": np.asarray(
+            params["embed_positions"], np.float32),
+        prefix + "final_layer_norm.weight": np.asarray(
+            params["final_ln"]["scale"], np.float32),
+        prefix + "final_layer_norm.bias": np.asarray(
+            params["final_ln"]["bias"], np.float32),
+    }
+    b = params["layers"]
+    for i in range(cfg.num_layers):
+        p = f"{prefix}layers.{i}."
+        out[p + "self_attn_layer_norm.weight"] = np.asarray(
+            b["ln1"]["scale"][i], np.float32)
+        out[p + "self_attn_layer_norm.bias"] = np.asarray(
+            b["ln1"]["bias"][i], np.float32)
+        for k in ("q", "k", "v"):
+            out[p + f"self_attn.{k}_proj.weight"] = np.asarray(
+                b["attn"][k]["kernel"][i], np.float32).T
+            out[p + f"self_attn.{k}_proj.bias"] = np.asarray(
+                b["attn"][k]["bias"][i], np.float32)
+        out[p + "self_attn.out_proj.weight"] = np.asarray(
+            b["attn"]["o"]["kernel"][i], np.float32).T
+        out[p + "self_attn.out_proj.bias"] = np.asarray(
+            b["attn"]["o"]["bias"][i], np.float32)
+        out[p + "final_layer_norm.weight"] = np.asarray(
+            b["ln2"]["scale"][i], np.float32)
+        out[p + "final_layer_norm.bias"] = np.asarray(
+            b["ln2"]["bias"][i], np.float32)
+        for k in ("fc1", "fc2"):
+            out[p + f"{k}.weight"] = np.asarray(
+                b["mlp"][k]["kernel"][i], np.float32).T
+            out[p + f"{k}.bias"] = np.asarray(
+                b["mlp"][k]["bias"][i], np.float32)
+    return out
+
+
+def export_blip2_opt(params: PyTree, cfg) -> StateDict:
+    """Inverse of convert_blip2_opt (reference pruned_checkpoint contract)."""
+    out = export_eva_vit(params["visual_encoder"], cfg.vit, "visual_encoder.")
+    out["ln_vision.weight"] = np.asarray(params["ln_vision"]["scale"], np.float32)
+    out["ln_vision.bias"] = np.asarray(params["ln_vision"]["bias"], np.float32)
+    out["query_tokens"] = np.asarray(params["query_tokens"], np.float32)
+    out.update(export_qformer(params["qformer"], cfg.qformer))
+    out["opt_proj.weight"] = np.asarray(
+        params["opt_proj"]["kernel"], np.float32).T
+    out["opt_proj.bias"] = np.asarray(params["opt_proj"]["bias"], np.float32)
+    out.update(export_opt(params["opt_model"], cfg.opt,
+                          "opt_model.model.decoder."))
+    out["opt_model.lm_head.weight"] = np.asarray(
+        params["opt_model"]["embed_tokens"], np.float32)  # tied (OPT default)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt (LLaMA/image_classifiers/models/convnext.py FB naming)
+# ---------------------------------------------------------------------------
+
+def convert_convnext(state: StateDict, cfg, dtype=jnp.float32) -> PyTree:
+    """FB/timm ConvNeXt state_dict -> models/classifiers.py pytree.
+
+    Key layout (convnext.py:76-104): downsample_layers.0 = [stem conv 4x4,
+    LN]; downsample_layers.i>=1 = [LN, conv 2x2]; stages.{s}.{b}.{dwconv,
+    norm, pwconv1, pwconv2, gamma}; final norm + head. Convs flatten to the
+    extract_patches matmul layout ((C, ph, pw) order); the depthwise 7x7
+    becomes (7, 7, C)."""
+    stages = []
+    for si, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
+        p = f"stages.{si}.{{i}}."
+
+        def dense(sub, d=depth, pp=p):
+            return {"kernel": _stack_t(state, pp + sub + ".weight", d),
+                    "bias": _stack(state, pp + sub + ".bias", d)}
+
+        dw = np.stack([
+            np.transpose(state[p.format(i=i) + "dwconv.weight"][:, 0],
+                         (1, 2, 0))
+            for i in range(depth)
+        ])  # torch (C,1,7,7) -> (7,7,C)
+        blocks = {
+            "dwconv": {"kernel": dw,
+                       "bias": _stack(state, p + "dwconv.bias", depth)},
+            "norm": {"scale": _stack(state, p + "norm.weight", depth),
+                     "bias": _stack(state, p + "norm.bias", depth)},
+            "pwconv1": dense("pwconv1"),
+            "pwconv2": dense("pwconv2"),
+            "gamma": _stack(state, p + "gamma", depth),
+        }
+        dp = f"downsample_layers.{si}."
+        if si == 0:
+            conv = state[dp + "0.weight"]  # (D, 3, 4, 4)
+            down = {
+                "conv": {"kernel": conv.reshape(conv.shape[0], -1).T,
+                         "bias": state[dp + "0.bias"]},
+                "norm": {"scale": state[dp + "1.weight"],
+                         "bias": state[dp + "1.bias"]},
+            }
+        else:
+            conv = state[dp + "1.weight"]  # (D, prev, 2, 2)
+            down = {
+                "norm": {"scale": state[dp + "0.weight"],
+                         "bias": state[dp + "0.bias"]},
+                "conv": {"kernel": conv.reshape(conv.shape[0], -1).T,
+                         "bias": state[dp + "1.bias"]},
+            }
+        stages.append({"downsample": down, "blocks": blocks})
+    out = {
+        "stages": stages,
+        "norm": {"scale": state["norm.weight"], "bias": state["norm.bias"]},
+        "head": {"kernel": state["head.weight"].T, "bias": state["head.bias"]},
+    }
+    return _cast(out, dtype)
+
+
+def export_convnext(params: PyTree, cfg) -> StateDict:
+    """Inverse of convert_convnext."""
+    out: StateDict = {
+        "norm.weight": np.asarray(params["norm"]["scale"], np.float32),
+        "norm.bias": np.asarray(params["norm"]["bias"], np.float32),
+        "head.weight": np.asarray(params["head"]["kernel"], np.float32).T,
+        "head.bias": np.asarray(params["head"]["bias"], np.float32),
+    }
+    for si, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
+        st = params["stages"][si]
+        dp = f"downsample_layers.{si}."
+        down = st["downsample"]
+        if si == 0:
+            k = np.asarray(down["conv"]["kernel"], np.float32)
+            out[dp + "0.weight"] = k.T.reshape(cfg.dims[0], 3, 4, 4)
+            out[dp + "0.bias"] = np.asarray(down["conv"]["bias"], np.float32)
+            out[dp + "1.weight"] = np.asarray(down["norm"]["scale"], np.float32)
+            out[dp + "1.bias"] = np.asarray(down["norm"]["bias"], np.float32)
+        else:
+            out[dp + "0.weight"] = np.asarray(down["norm"]["scale"], np.float32)
+            out[dp + "0.bias"] = np.asarray(down["norm"]["bias"], np.float32)
+            k = np.asarray(down["conv"]["kernel"], np.float32)
+            out[dp + "1.weight"] = k.T.reshape(dim, cfg.dims[si - 1], 2, 2)
+            out[dp + "1.bias"] = np.asarray(down["conv"]["bias"], np.float32)
+        b = st["blocks"]
+        for i in range(depth):
+            p = f"stages.{si}.{i}."
+            out[p + "dwconv.weight"] = np.transpose(
+                np.asarray(b["dwconv"]["kernel"][i], np.float32),
+                (2, 0, 1))[:, None]
+            out[p + "dwconv.bias"] = np.asarray(b["dwconv"]["bias"][i], np.float32)
+            out[p + "norm.weight"] = np.asarray(b["norm"]["scale"][i], np.float32)
+            out[p + "norm.bias"] = np.asarray(b["norm"]["bias"][i], np.float32)
+            for sub in ("pwconv1", "pwconv2"):
+                out[p + sub + ".weight"] = np.asarray(
+                    b[sub]["kernel"][i], np.float32).T
+                out[p + sub + ".bias"] = np.asarray(
+                    b[sub]["bias"][i], np.float32)
+            out[p + "gamma"] = np.asarray(b["gamma"][i], np.float32)
+    return out

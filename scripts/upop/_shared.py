@@ -24,6 +24,14 @@ def run(init_fn_name: str, adapter_fn_name: str, batch_builder,
     ap.add_argument("--num_samples", type=int, default=32)
     ap.add_argument("--finetune_steps", type=int, default=0)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--ckpt", default=None,
+                    help="UPop BLIP torch .pth (reference launchers start "
+                         "from model_base_caption_capfilt_large.pth, "
+                         "ecoflap_compress_caption.py:396; strict=False "
+                         "semantics via convert_blip1)")
+    ap.add_argument("--save_pruned", default=None,
+                    help="write the pruned model as a reference-named torch "
+                         ".pth (export_blip1)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -34,12 +42,23 @@ def run(init_fn_name: str, adapter_fn_name: str, batch_builder,
     from ecoflap_tpu.pruning.pruners import WandaPruner
     from ecoflap_tpu.runners.finetune import finetune
 
+    kind = {
+        "make_adapter": "blip_caption",
+        "make_vqa_adapter": "blip_vqa",
+        "make_nlvr_adapter": "blip_nlvr",
+        "make_retrieval_adapter": "blip_retrieval",
+    }[adapter_fn_name]
     cfg = (blip1.tiny_config() if args.model_scale == "tiny"
            else blip1.blip_base())
     dtype = jnp.float32 if args.model_scale == "tiny" else jnp.bfloat16
     init_fn = getattr(blip1, init_fn_name)
     params = jax.jit(lambda k: init_fn(cfg, k, dtype=dtype))(
         jax.random.PRNGKey(0))
+    if args.ckpt:
+        from ecoflap_tpu.utils import checkpoint as ck
+
+        params = ck.convert_blip1(ck.load_torch_checkpoint(args.ckpt), cfg,
+                                  kind, params, dtype=dtype)
     adapter = getattr(blip1, adapter_fn_name)(cfg, params)
 
     batch = batch_builder(cfg, args.num_samples)
@@ -65,4 +84,10 @@ def run(init_fn_name: str, adapter_fn_name: str, batch_builder,
             adapter.loss_fn, params, [batch] * args.finetune_steps,
             optimizer=optax.adamw(1e-5, weight_decay=0.05))
         out["ft_loss_first"], out["ft_loss_last"] = losses[0], losses[-1]
+    if args.save_pruned:
+        from ecoflap_tpu.utils import checkpoint as ck
+
+        ck.save_torch_checkpoint(ck.export_blip1(params, cfg, kind),
+                                 args.save_pruned)
+        out["pruned_checkpoint"] = args.save_pruned
     print(json.dumps(out))

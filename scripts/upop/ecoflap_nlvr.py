@@ -30,7 +30,7 @@ def batch_builder(cfg, n):
 
 def stack_names(cfg):
     return [("visual_encoder.blocks", cfg.vit.depth),
-            ("text_encoder.bert.encoder.layer", cfg.text.num_layers)]
+            ("text_encoder.encoder.layer", cfg.text.num_layers)]
 
 
 if __name__ == "__main__":

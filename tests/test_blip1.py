@@ -118,7 +118,7 @@ def test_nlvr_forward_and_prune():
         adapter, b, num_microbatches=2,
         stack_specs={
             "visual_encoder.blocks": f"{cfg.vit.depth}-0.5-1.0-1.0",
-            "text_encoder.bert.encoder.layer":
+            "text_encoder.encoder.layer":
                 f"{cfg.text.num_layers}-0.5-1.0-1.0",
         },
         sparsity_ratio_granularity="block",
@@ -128,7 +128,9 @@ def test_nlvr_forward_and_prune():
         verbose=False,
     )
     _, sd = pruner.prune()
-    assert "text_encoder.bert.encoder.layer.0.crossattention.merge.weight" in sd
+    assert ("text_encoder.encoder.layer.0.crossattention.output.merge_layer"
+            ".weight" in sd)
+    assert "text_encoder.encoder.layer.1.crossattention.self1.query.weight" in sd
     assert 0.35 <= pruner.check_sparsity() <= 0.65
     out = blip1.nlvr_forward(cfg, adapter.params, b)
     assert bool(jnp.all(jnp.isfinite(out)))

@@ -103,12 +103,12 @@ def test_retrieval_adapter_itm_loss():
     assert loss.shape == (n,) and bool(np.isfinite(np.asarray(loss)).all())
     # plan loss (cached image embeds) matches the full ITM loss
     plans = adapter.build_mezo_plans(bundle.params, batch)
-    assert plans and plans[0].match("text_decoder.blocks")
+    assert plans and plans[0].match("text_encoder.encoder.layer.0")
     plan_loss = plans[0].loss_fn(bundle.params, plans[0].data)
     np.testing.assert_allclose(np.asarray(plan_loss), np.asarray(loss),
                                rtol=2e-5, atol=2e-5)
     # the text stack streams end-to-end (prepare + per-block forward)
-    stack = [s for s in adapter.stacks if "text_decoder" in s.name][0]
+    stack = [s for s in adapter.stacks if "text_encoder" in s.name][0]
     x, cache = stack.prepare_inputs(bundle.params, batch)
     bp = stack.get_block(bundle.params, 0)
     y, stats = stack.block_forward(bp, x, cache, "wanda")
