@@ -3,21 +3,27 @@
 (reference scripts/blip2/ecoflap_sparsegpt_zeroth.py:10-26).
 
 Pass --sparsity_dict path/to/dict.yaml (from a prior ecoflap_zeroth run).
+
+Chains the reference 5-task eval loop on the pruned .pth (the shared
+ecoflap_zeroth.py:38-56 pattern); --no_eval restores prune-only.
 """
 
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ecoflap_tpu.cli.prune import main
+import _chain
 
 if __name__ == "__main__":
-    main([
+    args = [
         "--model", "blip2_t5",
         "--pruning_method", "blipt5_sparsegpt_pruner",
         "--vit_prune_spec", "39-0.5-1.0-1.0",
         "--t5_prune_spec", "24-0.5-1.0-1.0",
         "--num_samples", "128", "--batch_size", "8",
-        "--model_scale", "full",
-    ] + sys.argv[1:])
+    ]
+    argv = sys.argv[1:]
+    if "--model_scale" not in argv:
+        argv = ["--model_scale", "full"] + argv
+    _chain.run(args, argv)

@@ -1,20 +1,26 @@
 #!/usr/bin/env python
 """Global first-order |W|·|G| baseline, 3 iterations
-(reference scripts/blip2/iterative_global_gradient.py:9-24)."""
+(reference scripts/blip2/iterative_global_gradient.py:9-24).
+Chains the reference 5-task eval loop on the pruned .pth (the shared
+ecoflap_zeroth.py:38-56 pattern); --no_eval restores prune-only.
+"""
 
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ecoflap_tpu.cli.prune import main
+import _chain
 
 if __name__ == "__main__":
-    main([
+    args = [
         "--model", "blip2_t5",
         "--pruning_method", "blipt5_global_gradmagabs_pruner",
         "--prune_spec", "24-0.5-1.0-1.0",
         "--is_global", "--iteration", "3",
         "--num_samples", "128", "--batch_size", "8",
-        "--model_scale", "full",
-    ] + sys.argv[1:])
+    ]
+    argv = sys.argv[1:]
+    if "--model_scale" not in argv:
+        argv = ["--model_scale", "full"] + argv
+    _chain.run(args, argv)

@@ -525,3 +525,63 @@ def test_upop_task_launchers(script):
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert abs(res["sparsity"] - 0.5) < 0.1
     assert np.isfinite(res["ft_loss_last"])
+
+
+def test_blip2_launcher_chains_eval(tmp_path):
+    """scripts/blip2/ecoflap_zeroth.py reproduces the reference launcher's
+    prune -> eval composition (reference ecoflap_zeroth.py:38-56): the prune
+    leg emits the .pth, then each requested eval config runs against it."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    path = (Path(__file__).resolve().parents[1] / "scripts" / "blip2"
+            / "ecoflap_zeroth.py")
+    out = subprocess.run(
+        [sys.executable, str(path),
+         "--model_scale", "tiny", "--platform", "cpu", "--synthetic",
+         "--num_samples", "4", "--batch_size", "2",
+         "--num_data_first_stage", "4",
+         "--vit_prune_spec", "2-0.5-1.0-1.0",
+         "--t5_prune_spec", "2-0.5-1.0-1.0",
+         "--output_dir", str(tmp_path),
+         "--eval_tasks",
+         "vqav2_zeroshot_flant5xl_eval,nocaps_flant5xl_eval"],
+        capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    res = json.loads(out.stdout.strip().splitlines()[-1])["chained"]
+    assert res["prune"]["pth"].endswith(".pth")
+    for task in ("vqav2_zeroshot_flant5xl_eval", "nocaps_flant5xl_eval"):
+        assert "error" not in res[task], res[task]
+        assert np.isfinite(res[task]["agg_metrics"])
+
+
+def test_upop_launcher_ckpt_roundtrip(tmp_path):
+    """UPop caption launcher --ckpt + --save_pruned: imports a base-layout
+    .pth (model_base_caption_capfilt_large.pth contract,
+    ecoflap_compress_caption.py:396) and exports the pruned artifact."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    from ecoflap_tpu.models import blip1
+    from ecoflap_tpu.utils import checkpoint as ck
+
+    cfg = blip1.tiny_config()
+    params = blip1.init_params(cfg, jax.random.PRNGKey(0))
+    base = str(tmp_path / "base.pth")
+    ck.save_torch_checkpoint(ck.export_blip1(params, cfg, "blip_caption"),
+                             base)
+    pruned = str(tmp_path / "pruned.pth")
+    path = (Path(__file__).resolve().parents[1] / "scripts" / "upop"
+            / "ecoflap_caption.py")
+    out = subprocess.run(
+        [sys.executable, str(path), "--platform", "cpu",
+         "--num_samples", "4", "--ckpt", base, "--save_pruned", pruned],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    state = ck.load_torch_checkpoint(pruned)
+    w = state["text_decoder.bert.encoder.layer.0.attention.self.query.weight"]
+    assert (w == 0).mean() > 0.2  # actually pruned
