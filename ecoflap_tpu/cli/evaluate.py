@@ -58,11 +58,18 @@ def build_parser():
     p.add_argument("--ann", default=None, help="annotation json / data path")
     p.add_argument("--vis_root", default="")
     p.add_argument("--prompt_templates", default="full",
-                   choices=("full", "subset", "simple"),
+                   choices=("full", "subset", "simple", "coop"),
                    help="zero-shot classifier prompt ensemble: 'full' = the "
                         "reference's 80-entry openai_imagenet_template table "
                         "(clip_models/model.py:1175), 'subset' = the 7-entry "
-                        "fast subset (~0.1pt drift, 11x cheaper)")
+                        "fast subset (~0.1pt drift, 11x cheaper), 'coop' = "
+                        "the dataset's single CUSTOM_TEMPLATE prompt "
+                        "(CoOp/trainers/zsclip.py:13-43 zero-shot protocol)")
+    p.add_argument("--dataset", default="imagenet",
+                   help="classification dataset builder (imagenet, cifar100, "
+                        "or any of the 11 CoOp names: caltech101 dtd eurosat "
+                        "fgvc_aircraft food101 oxford_flowers oxford_pets "
+                        "stanford_cars sun397 ucf101 imagenet)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--eval_batches", type=int, default=2,
@@ -664,11 +671,17 @@ def _real_eval(args) -> Dict[str, Any]:
         img = (cfg.eva_visual.img_size if cfg.eva_visual
                else cfg.visual.img_size)
         vis = ImageEvalProcessor(image_size=img)
-        ds = registry.get("builder", "imagenet")(
+        ds = registry.get("builder", args.dataset)(
             {"vis_root": args.vis_root}, vis_processor=vis)
         tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
-        prompts = build_prompts(ds.classnames,
-                                TEMPLATE_SETS[args.prompt_templates])
+        if args.prompt_templates == "coop":
+            # single per-dataset CUSTOM_TEMPLATE (zsclip.py:42-43)
+            from ecoflap_tpu.data.coop import coop_prompts
+
+            prompts = coop_prompts(args.dataset, ds.classnames)
+        else:
+            prompts = build_prompts(ds.classnames,
+                                    TEMPLATE_SETS[args.prompt_templates])
         ids, _ = tok(prompts, max_length=cfg.text.context_length)
         classifier = clip_mod.zero_shot_classifier(
             cfg, params, jnp.asarray(ids), len(ds.classnames))

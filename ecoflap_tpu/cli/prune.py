@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_data_first_stage", type=int, default=128)
     p.add_argument("--num_noise", type=int, default=1)
     p.add_argument("--noise_eps", type=float, default=1e-3)
+    p.add_argument("--noise_mode", default="per_batch",
+                   choices=["per_batch", "shared"],
+                   help="MeZO sampling: per_batch = reference-exact fresh z "
+                        "per microbatch (default); shared = one z across all "
+                        "microbatches (documented deviation, PARITY.md)")
     p.add_argument("--sparsity_dict", default=None)
     p.add_argument("--prune_per_model", action="store_true")
     p.add_argument("--prune_n", type=int, default=0)
@@ -83,9 +88,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="local tokenizer.json (real subword vocab); "
                         "without it a LOUD HashTokenizer fallback applies")
     p.add_argument("--calib", default="synthetic",
-                   help="synthetic | path to annotation json / jsonl")
+                   help="synthetic | path to annotation json / jsonl "
+                        "(clip/deit/convnext: an imagefolder root)")
     p.add_argument("--vis_root", default="",
                    help="image root for --calib annotations")
+    p.add_argument("--dataset", default="imagenet",
+                   help="imagefolder builder + CoOp prompt template for the "
+                        "clip --calib path (any of the 11 CoOp dataset "
+                        "names; CoOp/trainers/zsclip.py:42 protocol)")
     p.add_argument("--num_samples", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--eval_chunk", type=int, default=None,
@@ -306,14 +316,43 @@ def _configs(args):
         rng = np.random.default_rng(args.seed)
         img = (cfg.eva_visual.img_size if cfg.eva_visual else cfg.visual.img_size)
         n = args.num_samples
-        ids = rng.integers(1, cfg.text.vocab_size,
-                           size=(n, cfg.text.context_length))
-        ids[:, -1] = cfg.text.vocab_size - 1
-        batch = {
-            "image": jnp.asarray(rng.normal(size=(n, img, img, 3)), dtype),
-            "text_ids": jnp.asarray(ids, jnp.int32),
-            "label": jnp.asarray(rng.integers(0, 10, size=(n,)), jnp.int32),
-        }
+        if args.calib != "synthetic":
+            # CoOp calibration protocol (trainers/zsclip.py:72-90): dataset
+            # images paired with their class's CUSTOM_TEMPLATE prompt; the
+            # contrastive calibration loss sees exactly what the reference's
+            # injected forward_to_cache computes
+            from ecoflap_tpu.core.registry import registry as _reg
+            from ecoflap_tpu.data import datasets as _ds  # noqa: F401
+            from ecoflap_tpu.data.calibration import HashTokenizer
+            from ecoflap_tpu.data.coop import COOP_TEMPLATES, coop_prompts
+            from ecoflap_tpu.data.processors import ImageEvalProcessor
+
+            folder = _reg.get("builder", args.dataset)(
+                {"vis_root": args.calib},
+                vis_processor=ImageEvalProcessor(image_size=img))
+            items = [folder[i % len(folder)] for i in range(n)]
+            labels = [it["label"] for it in items]
+            ds_name = (args.dataset if args.dataset in COOP_TEMPLATES
+                       else "imagenet")
+            per_class = coop_prompts(ds_name, folder.classnames)
+            tok = HashTokenizer(vocab_size=cfg.text.vocab_size)
+            ids, _ = tok([per_class[l] for l in labels],
+                         max_length=cfg.text.context_length)
+            batch = {
+                "image": jnp.asarray(
+                    np.stack([it["image"] for it in items]), dtype),
+                "text_ids": jnp.asarray(ids, jnp.int32),
+                "label": jnp.asarray(labels, jnp.int32),
+            }
+        else:
+            ids = rng.integers(1, cfg.text.vocab_size,
+                               size=(n, cfg.text.context_length))
+            ids[:, -1] = cfg.text.vocab_size - 1
+            batch = {
+                "image": jnp.asarray(rng.normal(size=(n, img, img, 3)), dtype),
+                "text_ids": jnp.asarray(ids, jnp.int32),
+                "label": jnp.asarray(rng.integers(0, 10, size=(n,)), jnp.int32),
+            }
         adapter = clip_mod.make_adapter(cfg, params, include_text=not eva)
         if eva:
             from ecoflap_tpu.utils import checkpoint as _ck
@@ -355,12 +394,15 @@ def _configs(args):
 
             adapter.export_torch = lambda p: _ck.export_eva_vit(p, cfg)
         else:
+            from ecoflap_tpu.utils import checkpoint as _ck
+
             if args.ckpt:
-                raise SystemExit(
-                    "--ckpt: no torch converter for convnext yet — a run "
-                    "with it would silently prune random weights")
-            params = _jit_init(init_fn, cfg, key, dtype)
+                params = _ck.convert_convnext(
+                    _ck.load_torch_checkpoint(args.ckpt), cfg, dtype=dtype)
+            else:
+                params = _jit_init(init_fn, cfg, key, dtype)
             adapter = classifiers.make_convnext_adapter(cfg, params)
+            adapter.export_torch = lambda p: _ck.export_convnext(p, cfg)
         n = args.num_samples
         if args.calib != "synthetic":
             from ecoflap_tpu.core.registry import registry
@@ -612,6 +654,7 @@ def main(argv=None) -> Dict[str, Any]:
         num_data_first_stage=args.num_data_first_stage,
         num_noise=args.num_noise,
         noise_eps=args.noise_eps,
+        noise_mode=args.noise_mode,
         sparsity_dict=args.sparsity_dict,
         prune_per_model=args.prune_per_model,
         prune_n=args.prune_n,
@@ -633,6 +676,7 @@ def main(argv=None) -> Dict[str, Any]:
             stack_specs=stack_specs or None, prune_spec=args.prune_spec,
             is_global=True, iteration=args.iteration,
             num_noise=args.num_noise, noise_eps=args.noise_eps,
+            noise_mode=args.noise_mode,
             key=jax.random.PRNGKey(args.seed),
         )
 

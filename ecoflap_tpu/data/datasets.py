@@ -447,3 +447,9 @@ def _collate(samples: List[Dict]) -> Dict:
         else:
             out[k] = vals
     return out
+
+
+# CoOp 11-dataset zero-shot builders (caltech101/dtd/eurosat/...) register
+# on import; defined in data/coop.py (imports ImageFolderDataset from here,
+# so this import must stay at module bottom).
+from ecoflap_tpu.data import coop as _coop  # noqa: E402,F401
