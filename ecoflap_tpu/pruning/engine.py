@@ -22,13 +22,17 @@ pruning so downstream blocks calibrate against the pruned upstream
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ecoflap_tpu.pruning.adapter import StackSpec
-from ecoflap_tpu.pruning.sparsegpt import sparsegpt_prune_weight
+from ecoflap_tpu.pruning.sparsegpt import (
+    sparsegpt_prune_weight,
+    sparsegpt_prune_weight_group,
+)
 from ecoflap_tpu.pruning.wanda import (
     apply_mask,
     mask_n_m,
@@ -148,6 +152,112 @@ def chunked_block_apply(
     return ys.reshape(b, *ys.shape[2:]), finish(stats)
 
 
+def make_block_programs(
+    stack: StackSpec,
+    collect: str,
+    prune_weight_fn: Callable,
+    num_chunks: int,
+    prune_weight_group_fn: Optional[Callable],
+    blocks_tpl: PyTree,
+):
+    """(fused_step, prune_leaf, groups) for one stack's fine stage.
+
+    ``blocks_tpl`` only supplies SHAPES (real arrays or ShapeDtypeStructs) —
+    exported at module level so the XL mesh compile smoke
+    (__graft_entry__._dryrun_xl_impl) can AOT-lower the exact fine-stage
+    program against abstract XL-shaped inputs without running it.
+
+    * fused_step(blocks, x, cache, n_seq, ratios, i): collect -> prune ->
+      re-forward in ONE donated program (stats stay jit-internal).
+    * prune_leaf(full, stat, n_seq, ratio, i): one linear's own program
+      (the unfused path's memory-tight variant).
+    * groups: same-kernel-shape linear groups; groups of >=2 route through
+      ``prune_weight_group_fn`` (batched OBS lanes, sparsegpt.py).
+    """
+    from ecoflap_tpu.core.pytree import get_leaf, set_leaf
+
+    l2p = stack.local_to_path or {}
+
+    def _shape_groups():
+        """Same-kernel-shape linear groups (distinct tree paths only:
+        a shared leaf must not be swept twice)."""
+        groups: Dict[Any, list] = {}
+        seen_paths = set()
+        for local in stack.linear_names:
+            path = f"{l2p.get(local, local)}.kernel"
+            if path in seen_paths:
+                continue
+            seen_paths.add(path)
+            shape = tuple(get_leaf(blocks_tpl, path).shape[1:])
+            groups.setdefault(shape, []).append(local)
+        return list(groups.values())
+
+    groups = (_shape_groups() if prune_weight_group_fn is not None
+              else [[ln] for ln in stack.linear_names])
+
+    def _prune_block_impl(blocks, stats, n_seq, ratios, i):
+        new = blocks
+        zeros = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
+                          else jnp.int32)
+        numel = 0
+        for group in groups:
+            if len(group) >= 2:
+                ws = jnp.stack([
+                    get_leaf(new, f"{l2p.get(ln, ln)}.kernel")[i].T
+                    .astype(jnp.float32) for ln in group])
+                sts = jnp.stack([stats[ln].astype(jnp.float32)
+                                 for ln in group])
+                rts = jnp.stack([ratios[ln] for ln in group])
+                w2s = prune_weight_group_fn(ws, sts, n_seq, rts)
+                for k, ln in enumerate(group):
+                    path = f"{l2p.get(ln, ln)}.kernel"
+                    full = get_leaf(new, path)
+                    w2 = w2s[k]
+                    zeros = zeros + jnp.sum(w2 == 0).astype(zeros.dtype)
+                    numel += w2.size
+                    new = set_leaf(
+                        new, path,
+                        full.at[i].set(w2.T.astype(full.dtype)))
+                continue
+            local = group[0]
+            path = f"{l2p.get(local, local)}.kernel"
+            full = get_leaf(new, path)
+            w = full[i].T.astype(jnp.float32)
+            w2 = prune_weight_fn(w, stats[local], n_seq, ratios[local])
+            # measured sparsity accumulates IN-program: a post-prune
+            # counting pass would allocate against an exhausted budget
+            zeros = zeros + jnp.sum(w2 == 0).astype(zeros.dtype)
+            numel += w2.size
+            new = set_leaf(new, path, full.at[i].set(w2.T.astype(full.dtype)))
+        return new, (zeros, numel)
+
+    def _prune_leaf_impl(full, stat, n_seq, ratio, i):
+        """One linear's sweep — its own small program. Keeps per-program
+        workspace at one sweep's temps: the monolithic per-block program
+        (11 OBS sweeps incl. two 5120^2 Hinv temps for the T5 decoder)
+        tips the axon tunnel's allocation budget at XL scale."""
+        w = full[i].T.astype(jnp.float32)
+        w2 = prune_weight_fn(w, stat, n_seq, ratio)
+        zeros = jnp.sum(w2 == 0).astype(jnp.int32)
+        return full.at[i].set(w2.T.astype(full.dtype)), zeros
+
+    prune_leaf = jax.jit(_prune_leaf_impl, donate_argnums=(0,))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fused_step(blocks, x, cache, n_seq, ratios, i):
+        """collect -> prune -> re-forward, stats jit-internal."""
+        bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
+        _, stats = chunked_block_apply(
+            stack.block_forward, bp, x, cache, collect, num_chunks)
+        new, zn = _prune_block_impl(blocks, stats, n_seq, ratios, i)
+        bp2 = jax.tree_util.tree_map(lambda a: a[i], new)
+        x2, _ = chunked_block_apply(
+            stack.block_forward, bp2, x, cache, None, num_chunks)
+        return new, x2, zn
+
+    return fused_step, prune_leaf, groups
+
+
 def _stream_prune_stack(
     stack: StackSpec,
     params: PyTree,
@@ -160,6 +270,7 @@ def _stream_prune_stack(
     counters: Optional[Dict[str, int]] = None,
     fuse_block_step: bool = False,
     consume_params: bool = False,
+    prune_weight_group_fn: Optional[Callable] = None,
 ) -> PyTree:
     """Shared layer-streaming loop with a DONATED per-block prune program.
 
@@ -223,47 +334,11 @@ def _stream_prune_stack(
     fast = stack.blocks_path is not None
     if fast:
         l2p = stack.local_to_path or {}
-
-        def _prune_block_impl(blocks, stats, n_seq, ratios, i):
-            new = blocks
-            zeros = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
-                              else jnp.int32)
-            numel = 0
-            for local in stack.linear_names:
-                path = f"{l2p.get(local, local)}.kernel"
-                full = get_leaf(new, path)
-                w = full[i].T.astype(jnp.float32)
-                w2 = prune_weight_fn(w, stats[local], n_seq, ratios[local])
-                # measured sparsity accumulates IN-program: a post-prune
-                # counting pass would allocate against an exhausted budget
-                zeros = zeros + jnp.sum(w2 == 0).astype(zeros.dtype)
-                numel += w2.size
-                new = set_leaf(new, path, full.at[i].set(w2.T.astype(full.dtype)))
-            return new, (zeros, numel)
-
-        def _prune_leaf_impl(full, stat, n_seq, ratio, i):
-            """One linear's sweep — its own small program. Keeps per-program
-            workspace at one sweep's temps: the monolithic per-block program
-            (11 OBS sweeps incl. two 5120^2 Hinv temps for the T5 decoder)
-            tips the axon tunnel's allocation budget at XL scale."""
-            w = full[i].T.astype(jnp.float32)
-            w2 = prune_weight_fn(w, stat, n_seq, ratio)
-            zeros = jnp.sum(w2 == 0).astype(jnp.int32)
-            return full.at[i].set(w2.T.astype(full.dtype)), zeros
-
-        prune_leaf = jax.jit(_prune_leaf_impl, donate_argnums=(0,))
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def fused_step(blocks, x, cache, n_seq, ratios, i):
-            """collect -> prune -> re-forward, stats jit-internal."""
-            bp = jax.tree_util.tree_map(lambda a: a[i], blocks)
-            _, stats = chunked_block_apply(
-                stack.block_forward, bp, x, cache, collect, num_chunks)
-            new, zn = _prune_block_impl(blocks, stats, n_seq, ratios, i)
-            bp2 = jax.tree_util.tree_map(lambda a: a[i], new)
-            x2, _ = chunked_block_apply(
-                stack.block_forward, bp2, x, cache, None, num_chunks)
-            return new, x2, zn
+        fused_step, prune_leaf, groups = make_block_programs(
+            stack, collect, prune_weight_fn, num_chunks,
+            prune_weight_group_fn,
+            get_leaf(params, stack.blocks_path),
+        )
 
         # Defensive copy ONCE per stack: the donated per-block program then
         # updates these copies in place, and the caller's original tree stays
@@ -272,6 +347,7 @@ def _stream_prune_stack(
         blocks = get_leaf(params, stack.blocks_path)
         if not consume_params:
             blocks = jax.tree_util.tree_map(jnp.array, blocks)
+        _block_walls = []  # block 0 carries the compiles; rest = steady
         for i in range(stack.num_blocks):
             if verbose:
                 print(f"pruning block {i} ({stack.name}) +{_time.time() - _t0:.1f}s")
@@ -301,6 +377,17 @@ def _stream_prune_stack(
                 counters["zeros"] = counters.get("zeros", 0) + int(zeros)
                 counters["total"] = counters.get("total", 0) + int(numel)
             x.block_until_ready()  # bound dispatch depth
+            _block_walls.append(_time.time())
+        if counters is not None and _block_walls:
+            # cold/warm attribution (BENCH cache_state): block 0 absorbs the
+            # per-stack program compiles, blocks 1+ are steady-state
+            t_prep = _t0
+            counters[f"first_block_s::{stack.name}"] = round(
+                _block_walls[0] - t_prep, 3)
+            if len(_block_walls) > 1:
+                counters[f"steady_block_s::{stack.name}"] = round(
+                    (_block_walls[-1] - _block_walls[0])
+                    / (len(_block_walls) - 1), 3)
         return set_leaf(params, stack.blocks_path, blocks)
 
     # fallback: accessor-routed functional updates (copying)
@@ -498,6 +585,20 @@ def prune_stack_sparsegpt(
             prune_n=prune_n, prune_m=prune_m,
         )
 
+    def prune_weight_group(ws, xtxs, n_seq, ratios):
+        # batched lanes over a block's same-shape linears (q/k/v/o,
+        # wi_0/wi_1): the serial OBS column sweep is latency-bound on TPU,
+        # so K lanes sweep together (VERDICT r4 weak #3). Per-lane results
+        # match the serial path up to batched-matmul reduction order.
+        hs = (2.0 / n_seq) * xtxs.astype(jnp.float32)
+        return sparsegpt_prune_weight_group(
+            ws, hs, ratios, blocksize=blocksize, percdamp=percdamp,
+            prune_n=prune_n, prune_m=prune_m,
+        )
+
+    group_fn = (prune_weight_group
+                if os.environ.get("ECOFLAP_SPARSEGPT_GROUP", "1") == "1"
+                else None)
     if host_stream:
         return _host_stream_prune_stack(
             stack, params, batch,
@@ -508,6 +609,7 @@ def prune_stack_sparsegpt(
         stack, params, batch, "hessian_bf16" if hessian_bf16 else "hessian",
         prune_weight, sparsity_ratio,
         num_chunks, verbose, counters, fuse_block_step, consume_params,
+        prune_weight_group_fn=group_fn,
     )
 
 

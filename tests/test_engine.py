@@ -186,7 +186,11 @@ def test_fused_block_step_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(outs[0][0]), np.asarray(outs[1][0]),
             rtol=1e-5, atol=1e-6, err_msg=fn.__name__)
-        assert outs[0][1] == outs[1][1], fn.__name__
+        cnt = [{k: v for k, v in c.items()
+                if not k.startswith(("first_block_s::",
+                                     "steady_block_s::"))}
+               for _, c in outs]  # timing keys legitimately differ
+        assert cnt[0] == cnt[1], fn.__name__
 
 
 def test_consume_params_matches_copying():

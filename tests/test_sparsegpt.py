@@ -163,3 +163,105 @@ def test_nm_structured():
     )
     zeros_per_group = (out.reshape(8, 4, 4) == 0).sum(-1)
     assert (zeros_per_group >= 2).all()
+
+
+def test_group_sweep_matches_serial():
+    """sparsegpt_prune_weight_group: K batched lanes == K serial sweeps
+    (per-lane, up to batched-matmul reduction order)."""
+    import numpy as np
+
+    from ecoflap_tpu.pruning.sparsegpt import (
+        sparsegpt_prune_weight,
+        sparsegpt_prune_weight_group,
+    )
+
+    rng = np.random.default_rng(0)
+    k, rows, cols = 4, 24, 40
+    ws = jnp.asarray(rng.normal(size=(k, rows, cols)), jnp.float32)
+    xs = rng.normal(size=(k, 64, cols))
+    hs = jnp.asarray(np.einsum("kni,knj->kij", xs, xs) / 64, jnp.float32)
+    sps = jnp.asarray([0.3, 0.5, 0.6, 0.45], jnp.float32)
+
+    grouped = sparsegpt_prune_weight_group(ws, hs, sps, blocksize=16)
+    for i in range(k):
+        serial = sparsegpt_prune_weight(ws[i], hs[i], sps[i], blocksize=16)
+        g = np.asarray(grouped[i])
+        s = np.asarray(serial)
+        # identical masks; values match to reduction-order noise
+        np.testing.assert_array_equal(g == 0, s == 0)
+        np.testing.assert_allclose(g, s, rtol=2e-4, atol=2e-5)
+
+
+def test_group_sweep_inf_clamp_and_nm():
+    """Group path keeps the exact quantile inf-clamp (lax.map keeps the
+    cond a real branch) and supports n:m group masks."""
+    import numpy as np
+
+    from ecoflap_tpu.pruning.sparsegpt import (
+        sparsegpt_prune_weight,
+        sparsegpt_prune_weight_group,
+    )
+
+    rng = np.random.default_rng(1)
+    k, rows, cols = 2, 8, 16
+    ws = jnp.asarray(rng.normal(size=(k, rows, cols)), jnp.float32)
+    xs = rng.normal(size=(k, 32, cols))
+    hs = np.einsum("kni,knj->kij", xs, xs) / 32
+    hs[0, 0, 1] = np.inf  # lane 0 exercises the quantile clamp
+    hs = jnp.asarray(hs, jnp.float32)
+    sps = jnp.asarray([0.5, 0.5], jnp.float32)
+
+    grouped = sparsegpt_prune_weight_group(ws, hs, sps, blocksize=8)
+    for i in range(k):
+        serial = sparsegpt_prune_weight(ws[i], hs[i], sps[i], blocksize=8)
+        np.testing.assert_allclose(np.asarray(grouped[i]), np.asarray(serial),
+                                   rtol=2e-4, atol=2e-5)
+
+    g24 = sparsegpt_prune_weight_group(ws, hs, sps, blocksize=8,
+                                       prune_n=2, prune_m=4)
+    arr = np.asarray(g24)
+    assert arr.shape == (k, rows, cols)
+    # exact 2:4 pattern per m-group
+    zero_per_group = (arr.reshape(k, rows, cols // 4, 4) == 0).sum(-1)
+    assert (zero_per_group == 2).all()
+
+
+def test_engine_group_path_matches_serial_stack():
+    """prune_stack_sparsegpt with the grouped sweep (default) produces the
+    same masks as ECOFLAP_SPARSEGPT_GROUP=0 on a real stack."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.pruning.engine import prune_stack_sparsegpt
+
+    cfg = llama.tiny_config()
+    rng = np.random.default_rng(0)
+    batch = {"input_ids": jnp.asarray(
+        rng.integers(2, cfg.vocab_size, size=(4, 12)), jnp.int32)}
+
+    def run(group):
+        os.environ["ECOFLAP_SPARSEGPT_GROUP"] = group
+        try:
+            params = llama.init_params(cfg, jax.random.PRNGKey(0))
+            ad = llama.make_adapter(cfg, params)
+            stack = ad.stacks[0]
+            ratios = {stack.weight_key(i, ln): 0.5
+                      for i in range(stack.num_blocks)
+                      for ln in stack.linear_names}
+            return prune_stack_sparsegpt(
+                stack, params, batch, ratios, num_chunks=1, verbose=False,
+                fuse_block_step=True)
+        finally:
+            os.environ.pop("ECOFLAP_SPARSEGPT_GROUP", None)
+
+    a = run("1")
+    b = run("0")
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    for x, y in zip(fa, fb):
+        xm = np.asarray(x) == 0
+        ym = np.asarray(y) == 0
+        assert (xm == ym).mean() > 0.999  # identical masks (ties aside)
