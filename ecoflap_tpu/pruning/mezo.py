@@ -381,24 +381,21 @@ def mezo_leaf_scores(
                 out.append(kk)
             return tuple(out)
 
-        score_vec = jnp.zeros((k_lanes,), jnp.float32)
         if noise_mode == "shared":
+            score_vec = jnp.zeros((k_lanes,), jnp.float32)
             for n in range(num_noise):
                 score_vec = score_vec + scorer(
                     params, data_g, lane_keys(n), eps_arr)
         else:
-            for b in range(num_microbatches):
-                mb = slice_microbatch(
-                    data_g, b, num_microbatches,
-                    getattr(plan, "static_keys", ()),
-                    getattr(plan, "batch_size", None),
-                )
-                pb_vec = jnp.zeros((k_lanes,), jnp.float32)
-                for n in range(num_noise):
-                    pb_vec = pb_vec + scorer(params, mb, lane_keys(b, n),
-                                             eps_arr)
-                # reference: gradients_dict[name] += |per_batch|  (:549)
-                score_vec = score_vec + jnp.abs(pb_vec)
+            # ONE program call per block: the scorer folds the microbatch
+            # and noise loops (and the reference's Σ_b |per_batch|
+            # accumulation) inside — keys[b, n, k] = the serial path's
+            # fold_in(fold_in(fold_in(key, target), b), n)
+            karr = jnp.stack([
+                jnp.stack([jnp.stack(lane_keys(b, n))
+                           for n in range(num_noise)])
+                for b in range(num_microbatches)])
+            score_vec = scorer(params, data_g, karr, eps_arr)
         vals = np.asarray(score_vec)
         for g, tg in enumerate(group):
             scores[tg.name] = float(vals[g])
@@ -514,13 +511,13 @@ def mezo_leaf_scores(
                 try:
                     scorer = _lane_scorer(plan, plan.lane_paths(grp))
                     d = plan.data  # block 0: no advance needed
-                    if noise_mode == "per_batch":
-                        d = slice_microbatch(
-                            d, 0, num_microbatches,
-                            getattr(plan, "static_keys", ()),
-                            getattr(plan, "batch_size", None))
                     keys = tuple(jax.random.fold_in(key, i0 + g)
                                  for g in range(len(grp)))
+                    if noise_mode == "per_batch":
+                        row = jnp.stack(keys)
+                        keys = jnp.stack(
+                            [jnp.stack([row] * num_noise)]
+                            * num_microbatches)  # (MB, N, K), values moot
                     jax.block_until_ready(scorer(params, d, keys, eps_arr))
                 except Exception:
                     pass

@@ -276,18 +276,48 @@ class SuffixPlan:
                 fwd, blocks, h, cache, start + 1))(y0)
             return jax.vmap(lambda h: finish(params, h, data))(y)  # (K, B)
 
+        from ecoflap_tpu.pruning.mezo import _is_batch_leaf, _split_static
+
         if mode == "per_batch":
+            # ONE program per block scores every (lane, microbatch, noise):
+            # lax.map over microbatches (fresh z per mb from keys[b, n, k] —
+            # the reference's exact sampling, :488-561) with the antithetic
+            # pair evaluated inside. Returns the per-lane per-batch score
+            # contribution Σ_b |Σ_n |L⁺−L⁻|/2ε| already accumulated.
             def score(params, data, keys, eps):
                 start = data[START_KEY]
-                lp = lanes_losses(
-                    params, data, build_lanes(params, start, keys, eps))
-                lm = lanes_losses(
-                    params, data, build_lanes(params, start, keys, -eps))
-                return jnp.abs(lp.mean(axis=1) - lm.mean(axis=1)) / (2.0 * eps)
+                static, dyn = _split_static(data, static_keys)
+                leaves, treedef = jax.tree_util.tree_flatten(dyn)
+                idx = [i for i, l in enumerate(leaves)
+                       if _is_batch_leaf(l, batch_size)]
+                mb_n = keys.shape[0]
+                stacked = [leaves[i].reshape(mb_n, -1, *leaves[i].shape[1:])
+                           for i in idx]
+
+                def body(args):
+                    mb_leaves, krow = args  # krow: (N, K) keys
+                    merged = list(leaves)
+                    for i, v in zip(idx, mb_leaves):
+                        merged[i] = v
+                    d = jax.tree_util.tree_unflatten(treedef, merged)
+                    if static:
+                        d = {**d, **static}
+                    pb = jnp.zeros((len(paths),), jnp.float32)
+                    for n in range(krow.shape[0]):  # num_noise, static
+                        kr = [krow[n, g] for g in range(len(paths))]
+                        lp = lanes_losses(params, d, build_lanes(
+                            params, start, kr, eps))
+                        lm = lanes_losses(params, d, build_lanes(
+                            params, start, kr, -eps))
+                        pb = pb + jnp.abs(lp.mean(axis=1)
+                                          - lm.mean(axis=1)) / (2.0 * eps)
+                    # reference: gradients_dict[name] += |per_batch| (:549)
+                    return jnp.abs(pb)
+
+                per_mb = jax.lax.map(body, (stacked, keys))  # (MB, K)
+                return jnp.sum(per_mb, axis=0)
 
             return jax.jit(score)
-
-        from ecoflap_tpu.pruning.mezo import _is_batch_leaf, _split_static
 
         def eval_all(params, data, lanes):
             """(K, N) lane losses over the FULL coarse batch, chunked."""

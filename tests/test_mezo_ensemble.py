@@ -125,7 +125,9 @@ def test_lane_scorer_shared_suffix_semantics():
     eps = 0.02
     keys = tuple(jax.random.fold_in(jax.random.PRNGKey(0), g)
                  for g in range(len(targets)))
-    got = np.asarray(scorer(params, data, keys, jnp.float32(eps)))
+    # (MB=1, N=1, K) key grid: the whole batch as one microbatch
+    karr = jnp.stack([jnp.stack([jnp.stack(keys)])])
+    got = np.asarray(scorer(params, data, karr, jnp.float32(eps)))
 
     # hand-built serial reference: perturb the stacked leaf functionally
     from ecoflap_tpu.core.pytree import set_leaf as set_leaf_fn
