@@ -134,13 +134,24 @@ def main(argv=None):
     if args.resume_pth:
         # Resume a drill whose eval leg was cut short: skip prune/export,
         # evaluate from the already-exported reference-contract artifact.
+        # Sparsity counts ONLY the prunable stack linears (same population
+        # as check_sparsity), not embeddings/conv/Q-Former — a resumed
+        # record must read the same as the original drill's (ADVICE r4 #1).
+        import re as _re
+
         pth = args.resume_pth
         state = ck.load_torch_checkpoint(pth)
-        mats = [v for v in state.values() if getattr(v, "ndim", 0) >= 2]
+        prunable = _re.compile(
+            r"^(visual_encoder\.blocks\.\d+\.(attn\.(qkv|proj)|mlp\.fc[12])"
+            r"|t5_model\.(encoder|decoder)\.block\.\d+\.layer\.\d+\."
+            r"(SelfAttention|EncDecAttention)\.[qkvo]"
+            r"|t5_model\.(encoder|decoder)\.block\.\d+\.layer\.\d+\."
+            r"DenseReluDense\.(wi_0|wi_1|wo))\.weight$")
+        mats = [v for k, v in state.items() if prunable.match(k)]
         tot = sum(int(m.size) for m in mats)
         sp = sum(int((m == 0).sum()) for m in mats) / max(tot, 1)
         del state, mats
-        print(f"[parity] resumed from {pth}: matrix-weight zero fraction "
+        print(f"[parity] resumed from {pth}: prunable-stack zero fraction "
               f"{sp:.4f} ({tot} weights) — skipping prune/export legs")
         return _evaluate_and_diff(args, pth, sp, t0)
 
@@ -247,7 +258,12 @@ def _evaluate_and_diff(args, pth, sp, t0):
         m = metrics["captioning"]
         print(f"  COCO caption: CIDEr {m.get('CIDEr', 0):.1f} "
               f"Bleu_4 {m.get('Bleu_4', 0):.3f}")
-    if not args.blip2_ckpt:
+    if args.resume_pth and not args.blip2_ckpt:
+        # artifact provenance unknown on resume — it may well be a
+        # real-checkpoint drill's export (ADVICE r4 #2)
+        print("  (resumed from a .pth of unknown provenance: interpret "
+              "accuracy rows per the original drill's weights)")
+    elif not args.blip2_ckpt:
         print("  (random-init run: numbers are pipeline smoke only)")
     # captioning carries the full COCOEvalCap schema: null Java-jar metrics
     # (METEOR/SPICE) and the metric_notes dict ride through as-is
