@@ -342,3 +342,18 @@ def test_train_runner_split_aware_eval(tmp_path):
         for a, b in zip(flatten_named(best).values(),
                         flatten_named(params).values())
     )
+
+
+def test_xl_mesh_compile_smoke():
+    """ECOFLAP_DRYRUN_XL=1: AOT compile-only pass over the XL-shaped coarse
+    (lane scorer) + fine (fused step) programs under a dp=4,tp=2 virtual
+    CPU mesh with Megatron param shardings (abstract 4B-param tree).
+    Env-gated: ~5-10 min of pure XLA compilation."""
+    import os
+    import pytest
+
+    if os.environ.get("ECOFLAP_DRYRUN_XL") != "1":
+        pytest.skip("set ECOFLAP_DRYRUN_XL=1 to run the XL compile smoke")
+    import __graft_entry__ as g
+
+    g.dryrun_xl_compile(8)
