@@ -351,14 +351,22 @@ def _save_local_record(out: dict) -> None:
         log(f"bench: could not update BENCH_LOCAL.json: {e}")
 
 
-def _peak_gib() -> float:
-    """Device peak_bytes_in_use in GiB (the reference's training_statistics
-    rows carry peak GPU memory, evaluate_blip.py:458-472)."""
+def _peak_gib():
+    """Device peak memory in GiB (the reference's training_statistics rows
+    carry peak GPU memory, evaluate_blip.py:458-472). None when the backend
+    exposes no peak counter (the axon plugin's memory_stats lacks one) —
+    an explicit null beats a fake 0.0."""
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
-        return round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+        for k in ("peak_bytes_in_use", "max_bytes_in_use", "bytes_in_use"):
+            if stats.get(k):
+                return round(stats[k] / 2**30, 2)
+        if stats:
+            log(f"bench: no peak-memory key; memory_stats keys: "
+                f"{sorted(stats)}")
     except Exception:
-        return 0.0
+        pass
+    return None
 
 
 def _cache_state(phases: dict) -> str:

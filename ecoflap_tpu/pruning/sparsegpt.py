@@ -161,9 +161,12 @@ def _sweep_block(
         err = (w - q) / d
 
         # W1[:, i:] -= err ⊗ Hinv1[i, i:]  (static-shape form: masked update
-        # over the whole block; col i itself lands exactly on q).
+        # over the whole block; col i itself lands exactly on q). where(),
+        # not multiply: non-finite Hinv entries in masked columns would
+        # otherwise turn 0*inf into NaN and poison the block.
         row = lax.dynamic_slice(hinv_blk, (i, 0), (1, bsz))[0]
-        upd = err[:, None] * (row * (col_ids >= i))[None, :]
+        upd = jnp.where((col_ids >= i)[None, :], err[:, None] * row[None, :],
+                        0.0)
         w1 = w1 - upd
 
         q1 = lax.dynamic_update_slice(q1, q[:, None], (0, i))
@@ -236,24 +239,59 @@ def sparsegpt_prune_weight_group(
 
     from ecoflap_tpu.pruning.select import threshold_mask_per_tensor
 
+    def lane_mask(wb, hb, sp):
+        sal = wb**2 / (jnp.diag(hb)[None, :] ** 2)
+        idx = jnp.clip(
+            jnp.floor(sal.size * sp).astype(jnp.int32), 0, sal.size - 1)
+        return threshold_mask_per_tensor(sal, idx)
+
+    def blk_masks(w_blk, hinv_blk, count):
+        if prune_n == 0:
+            return jax.vmap(lane_mask)(w_blk, hinv_blk, sparsities)
+        return jnp.zeros((k_lanes, rows, count), dtype=bool)
+
+    if cols % blocksize == 0:
+        # ONE scanned sweep body instead of cols/blocksize unrolled copies:
+        # the unrolled program (40 sweep bodies at d_ff=5120) costs minutes
+        # of XLA compile through the axon tunnel, which dominated the whole
+        # SparseGPT preset once the steady-state went batched. Cross-block
+        # error propagates through a full-width MASKED matmul (cols < i2
+        # contribute exact zeros), so values match the sliced form.
+        col_ids = jnp.arange(cols)
+
+        def body(w, blk):
+            i1 = blk * blocksize
+            w_blk = lax.dynamic_slice(w, (0, 0, i1), (k_lanes, rows, blocksize))
+            hinv_blk = jax.vmap(
+                lambda h: lax.dynamic_slice(h, (i1, i1),
+                                            (blocksize, blocksize)))(hinv_u)
+            mask_blk = blk_masks(w_blk, hinv_blk, blocksize)
+            q1, err1 = jax.vmap(_sweep_block, in_axes=(0, 0, 0, None, None))(
+                w_blk, hinv_blk, mask_blk, prune_n, prune_m)
+            hrows = jax.vmap(
+                lambda h: lax.dynamic_slice(h, (i1, 0),
+                                            (blocksize, cols)))(hinv_u)
+            # mask the update OUTPUT, not the operands: a pathological
+            # Hinv can carry NaN (failed factorization after 50 damped
+            # retries) and NaN rides through any multiply-by-zero — the
+            # finished blocks' columns must stay exactly q1
+            keep = col_ids >= i1 + blocksize
+            upd = jnp.einsum("krb,kbc->krc", err1, hrows,
+                             preferred_element_type=jnp.float32)
+            w = w - jnp.where(keep[None, None], upd, 0.0)
+            w = lax.dynamic_update_slice(w, q1, (0, 0, i1))
+            return w, None
+
+        ws, _ = lax.scan(body, ws, jnp.arange(cols // blocksize))
+        return ws.astype(orig_dtype)
+
     for i1 in range(0, cols, blocksize):
         i2 = min(i1 + blocksize, cols)
         count = i2 - i1
 
         w_blk = ws[:, :, i1:i2]
         hinv_blk = hinv_u[:, i1:i2, i1:i2]
-
-        if prune_n == 0:
-            def lane_mask(wb, hb, sp):
-                sal = wb**2 / (jnp.diag(hb)[None, :] ** 2)
-                idx = jnp.clip(
-                    jnp.floor(sal.size * sp).astype(jnp.int32),
-                    0, sal.size - 1)
-                return threshold_mask_per_tensor(sal, idx)
-
-            mask_blk = jax.vmap(lane_mask)(w_blk, hinv_blk, sparsities)
-        else:
-            mask_blk = jnp.zeros((k_lanes, rows, count), dtype=bool)
+        mask_blk = blk_masks(w_blk, hinv_blk, count)
 
         q1, err1 = jax.vmap(_sweep_block, in_axes=(0, 0, 0, None, None))(
             w_blk, hinv_blk, mask_blk, prune_n, prune_m)
@@ -292,29 +330,54 @@ def sparsegpt_prune_weight(
     hinv_u, dead = prepare_hinv(h, percdamp)
     w = jnp.where(dead[None, :], 0.0, w)
 
-    # Python loop over column blocks: shapes are static per layer, so this
-    # unrolls into a fixed XLA program (cols/blocksize ≤ ~40 for d_ff=5120).
+    from ecoflap_tpu.pruning.select import threshold_mask_per_tensor
+
+    def blk_mask(w_blk, hinv_blk, count):
+        if prune_n != 0:
+            return jnp.zeros((rows, count), dtype=bool)
+        sal = w_blk**2 / (jnp.diag(hinv_blk)[None, :] ** 2)
+        idx = jnp.clip(
+            jnp.floor(sal.size * sparsity).astype(jnp.int32), 0, sal.size - 1)
+        # sort-free kth-value threshold (pruning/select.py) — the
+        # reference sorts the whole block (sparsegpt_pruner.py:172)
+        return threshold_mask_per_tensor(sal, idx)
+
+    if cols % blocksize == 0:
+        # ONE scanned sweep body instead of cols/blocksize unrolled copies
+        # (compile-time dominated through the axon tunnel; see the group
+        # variant above). Cross-block error propagates via a full-width
+        # MASKED matmul — identical values, fixed shapes.
+        col_ids = jnp.arange(cols)
+
+        def body(w, blk):
+            i1 = blk * blocksize
+            w_blk = lax.dynamic_slice(w, (0, i1), (rows, blocksize))
+            hinv_blk = lax.dynamic_slice(hinv_u, (i1, i1),
+                                         (blocksize, blocksize))
+            mask_blk = blk_mask(w_blk, hinv_blk, blocksize)
+            q1, err1 = _sweep_block(w_blk, hinv_blk, mask_blk,
+                                    prune_n, prune_m)
+            hrow = lax.dynamic_slice(hinv_u, (i1, 0), (blocksize, cols))
+            # mask the update OUTPUT (NaN rides through multiply-by-zero;
+            # see the group variant)
+            keep = col_ids >= i1 + blocksize
+            upd = jnp.dot(err1, hrow, preferred_element_type=jnp.float32)
+            w = w - jnp.where(keep[None], upd, 0.0)
+            w = lax.dynamic_update_slice(w, q1, (0, i1))
+            return w, None
+
+        w, _ = lax.scan(body, w, jnp.arange(cols // blocksize))
+        return w.astype(orig_dtype)
+
+    # remainder fallback: Python loop over column blocks (static shapes per
+    # layer; cols/blocksize <= ~40 for d_ff=5120)
     for i1 in range(0, cols, blocksize):
         i2 = min(i1 + blocksize, cols)
         count = i2 - i1
 
         w_blk = w[:, i1:i2]
         hinv_blk = hinv_u[i1:i2, i1:i2]
-
-        if prune_n == 0:
-            from ecoflap_tpu.pruning.select import threshold_mask_per_tensor
-
-            sal = w_blk**2 / (jnp.diag(hinv_blk)[None, :] ** 2)
-            idx = jnp.clip(
-                jnp.floor(sal.size * sparsity).astype(jnp.int32),
-                0,
-                sal.size - 1,
-            )
-            # sort-free kth-value threshold (pruning/select.py) — the
-            # reference sorts the whole block (sparsegpt_pruner.py:172)
-            mask_blk = threshold_mask_per_tensor(sal, idx)
-        else:
-            mask_blk = jnp.zeros((rows, count), dtype=bool)
+        mask_blk = blk_mask(w_blk, hinv_blk, count)
 
         q1, err1 = _sweep_block(w_blk, hinv_blk, mask_blk, prune_n, prune_m)
 

@@ -265,3 +265,76 @@ def test_engine_group_path_matches_serial_stack():
         xm = np.asarray(x) == 0
         ym = np.asarray(y) == 0
         assert (xm == ym).mean() > 0.999  # identical masks (ties aside)
+
+
+def test_scanned_block_loop_matches_unrolled():
+    """cols % blocksize == 0 routes through the scanned sweep (one body,
+    masked full-width cross-block matmul); values must match the unrolled
+    remainder path and the grouped scan must match both."""
+    import numpy as np
+
+    from ecoflap_tpu.pruning.sparsegpt import (
+        sparsegpt_prune_weight,
+        sparsegpt_prune_weight_group,
+    )
+
+    rng = np.random.default_rng(2)
+    rows, cols, bsz = 24, 64, 16  # divisible -> scan path
+    w = jnp.asarray(rng.normal(size=(rows, cols)), jnp.float32)
+    x = rng.normal(size=(96, cols))
+    h = jnp.asarray(x.T @ x / 96, jnp.float32)
+
+    scanned = sparsegpt_prune_weight(w, h, jnp.float32(0.5), blocksize=bsz)
+    # blocksize 17 forces the unrolled remainder path on the same matrix;
+    # different block partitions give different sweeps, so instead compare
+    # scan vs unrolled at the SAME partition by padding trick: use bsz=13
+    # (64 % 13 != 0) only to assert the fallback still runs; the scan-vs-
+    # unrolled value check uses the group-vs-serial pair below.
+    fallback = sparsegpt_prune_weight(w, h, jnp.float32(0.5), blocksize=13)
+    assert np.isfinite(np.asarray(fallback)).all()
+
+    grouped = sparsegpt_prune_weight_group(
+        w[None], h[None], jnp.asarray([0.5], jnp.float32), blocksize=bsz)[0]
+    np.testing.assert_array_equal(
+        np.asarray(scanned) == 0, np.asarray(grouped) == 0)
+    np.testing.assert_allclose(np.asarray(scanned), np.asarray(grouped),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_scan_vs_unrolled_same_partition():
+    """Direct scan-vs-unrolled equivalence at the SAME block partition:
+    monkeypatch-force the unrolled branch by an off-by-remainder pad."""
+    import numpy as np
+
+    from ecoflap_tpu.pruning import sparsegpt as sg
+
+    rng = np.random.default_rng(3)
+    rows, cols, bsz = 16, 48, 16
+    w = jnp.asarray(rng.normal(size=(rows, cols)), jnp.float32)
+    x = rng.normal(size=(64, cols))
+    h = jnp.asarray(x.T @ x / 64, jnp.float32)
+
+    scanned = sg.sparsegpt_prune_weight(w, h, jnp.float32(0.4), blocksize=bsz)
+
+    # hand-run the unrolled path (copied semantics: slice, sweep, propagate)
+    hinv_u, dead = sg.prepare_hinv(h)
+    wf = jnp.where(dead[None, :], 0.0, w.astype(jnp.float32))
+    from ecoflap_tpu.pruning.select import threshold_mask_per_tensor
+
+    for i1 in range(0, cols, bsz):
+        i2 = i1 + bsz
+        w_blk = wf[:, i1:i2]
+        hinv_blk = hinv_u[i1:i2, i1:i2]
+        sal = w_blk**2 / (jnp.diag(hinv_blk)[None, :] ** 2)
+        idx = jnp.clip(jnp.floor(sal.size * 0.4).astype(jnp.int32),
+                       0, sal.size - 1)
+        mask = threshold_mask_per_tensor(sal, idx)
+        q1, err1 = sg._sweep_block(w_blk, hinv_blk, mask, 0, 0)
+        wf = wf.at[:, i1:i2].set(q1)
+        if i2 < cols:
+            wf = wf.at[:, i2:].add(-jnp.dot(err1, hinv_u[i1:i2, i2:]))
+
+    np.testing.assert_array_equal(np.asarray(scanned) == 0,
+                                  np.asarray(wf) == 0)
+    np.testing.assert_allclose(np.asarray(scanned), np.asarray(wf),
+                               rtol=2e-4, atol=2e-5)
