@@ -231,22 +231,36 @@ def multi_method_run(methods) -> None:
         env = dict(os.environ)
         env.pop("ECOFLAP_BENCH_METHODS", None)
         env["ECOFLAP_BENCH_METHOD"] = m
-        log(f"[methods] running preset {m!r} ...")
-        try:
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=m_timeout)
-        except subprocess.TimeoutExpired as e:
-            log(f"[methods] {m} TIMED OUT after {m_timeout}s")
-            sys.stderr.write((e.stderr or b"").decode("utf-8", "replace")
-                             if isinstance(e.stderr, bytes)
-                             else (e.stderr or ""))
+        res = None
+        # one retry after a cooldown: back-to-back children occasionally hit
+        # transient RESOURCE_EXHAUSTED while the device still holds the
+        # previous child's buffers (observed once in the round-5 runs — the
+        # same preset passes standalone)
+        for attempt in (1, 2):
+            log(f"[methods] running preset {m!r} (attempt {attempt}) ...")
+            try:
+                res = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    capture_output=True, text=True, timeout=m_timeout)
+            except subprocess.TimeoutExpired as e:
+                log(f"[methods] {m} TIMED OUT after {m_timeout}s")
+                sys.stderr.write((e.stderr or b"").decode("utf-8", "replace")
+                                 if isinstance(e.stderr, bytes)
+                                 else (e.stderr or ""))
+                res = None
+                break  # a wedged tunnel won't recover on an instant retry
+            sys.stderr.write(res.stderr)
+            if res.returncode == 0:
+                break
+            sys.stderr.write(res.stdout)
+            log(f"[methods] {m} FAILED rc={res.returncode}"
+                + (" — retrying in 60s" if attempt == 1 else ""))
+            if attempt == 1:
+                time.sleep(60)
+        if res is None:
             results[m] = {"error": f"timeout {m_timeout}s"}
             continue
-        sys.stderr.write(res.stderr)
         if res.returncode != 0:
-            sys.stderr.write(res.stdout)
-            log(f"[methods] {m} FAILED rc={res.returncode}")
             results[m] = {"error": res.returncode}
             continue
         results[m] = json.loads(res.stdout.strip().splitlines()[-1])

@@ -263,7 +263,62 @@ class TwoStagePruner:
         return n
 
     # -- fine stage --------------------------------------------------------
+    def _build_fine_programs(self) -> Dict[str, Any]:
+        """AOT compile-overlap for the fine stage (engine.FinePrograms):
+        every to-be-pruned stack's fused program starts lowering+compiling
+        against abstract inputs in a daemon thread at prune() begin, so the
+        per-stack XL compiles (~110 s each through the axon tunnel — they
+        dominated the round-5 SparseGPT preset) overlap the coarse stage and
+        each other instead of serializing at each stack's block 0. Gated
+        like the plan warm: default ON on tpu, ECOFLAP_WARM_FINE=0/1
+        overrides."""
+        env = os.environ.get("ECOFLAP_WARM_FINE")
+        on = (env == "1" if env is not None
+              else jax.default_backend() == "tpu")
+        if not on or self.host_stream:
+            return {}
+        from ecoflap_tpu.core.pytree import get_leaf
+        from ecoflap_tpu.pruning.engine import (
+            chunked_prepare,
+            make_block_programs,
+            make_sparsegpt_prune_fns,
+            make_wanda_prune_fn,
+        )
+
+        num_chunks = self._eval_chunks(self.data) or self.num_microbatches
+        out: Dict[str, Any] = {}
+        for stack in self.adapter.stacks:
+            if (self._spec_for_stack(stack.name) is None
+                    or stack.blocks_path is None
+                    or not self._fuse_for(stack)):
+                continue
+            if self.local_method == "wanda":
+                pw = make_wanda_prune_fn(stack.per_row_mask, self.prune_n,
+                                         self.prune_m)
+                collect, group_fn = "wanda", None
+            else:
+                pw, group_fn = make_sparsegpt_prune_fns(
+                    128, 0.01, self.prune_n, self.prune_m)
+                collect = "hessian_bf16" if self.hessian_bf16 else "hessian"
+            blocks = get_leaf(self.adapter.params, stack.blocks_path)
+            progs = make_block_programs(stack, collect, pw, num_chunks,
+                                        group_fn, blocks)
+            try:
+                x_abs, cache_abs = jax.eval_shape(
+                    lambda p, b, st=stack: chunked_prepare(
+                        st.prepare_inputs, p, b, num_chunks),
+                    self.adapter.params, self.data)
+                blocks_abs = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), blocks)
+                progs.warm_async(blocks_abs, x_abs, cache_abs,
+                                 stack.linear_names)
+            except Exception:
+                pass  # warm is best-effort; the jit path still compiles
+            out[stack.name] = progs
+        return out
+
     def _prune_stack(self, stack, params, ratios):
+        programs = getattr(self, "_fine_programs", {}).get(stack.name)
         if self.local_method == "wanda":
             return prune_stack_wanda(
                 stack,
@@ -278,6 +333,7 @@ class TwoStagePruner:
                 fuse_block_step=self._fuse_for(stack),
                 consume_params=self.consume_params,
                 host_stream=self.host_stream,
+                programs=programs,
             )
         if self.local_method == "sparsegpt":
             return prune_stack_sparsegpt(
@@ -294,6 +350,7 @@ class TwoStagePruner:
                 consume_params=self.consume_params,
                 hessian_bf16=self.hessian_bf16,
                 host_stream=self.host_stream,
+                programs=programs,
             )
         raise ValueError(self.local_method)
 
@@ -322,6 +379,9 @@ class TwoStagePruner:
         self._counters: Dict[str, int] = {}
         self._coarse_marks: list = []
         self.phase_times: Dict[str, float] = {}
+        # fine-stage AOT compile overlap: threads start now so the per-stack
+        # fused-program compiles ride under the coarse stage's wall
+        self._fine_programs = self._build_fine_programs()
 
         # Coarse stage runs once over the union of stacks when granularity is
         # requested (blipt5 orchestrator, wanda_pruner.py:803-812).

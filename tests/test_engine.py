@@ -277,3 +277,39 @@ def test_host_stream_matches_device_resident():
         got_leaves = jax.tree_util.tree_leaves(got)
         for a, b in zip(ref_leaves, got_leaves):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warm_fine_aot_path_matches(monkeypatch):
+    """ECOFLAP_WARM_FINE=1: the AOT-compiled fused program must actually be
+    used (no silent signature-mismatch fallback) and produce the same pruned
+    weights as the plain jit path."""
+    import time
+
+    from ecoflap_tpu.models import llama
+    from ecoflap_tpu.pruning.pruners import WandaPruner
+
+    cfg = llama.tiny_config()
+    rng = np.random.default_rng(0)
+    batch = {"input_ids": jnp.asarray(
+        rng.integers(2, cfg.vocab_size, size=(8, 10)), jnp.int32)}
+
+    outs = {}
+    for warm in ("0", "1"):
+        monkeypatch.setenv("ECOFLAP_WARM_FINE", warm)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ad = llama.make_adapter(cfg, params)
+        pruner = WandaPruner(ad, batch, num_microbatches=2,
+                             prune_spec=f"{cfg.num_layers}-0.5-1.0-1.0",
+                             verbose=False)
+        pruned, _ = pruner.prune()
+        outs[warm] = pruned["layers"]["attn"]["q"]["kernel"]
+        if warm == "1":
+            progs = list(pruner._fine_programs.values())
+            assert progs, "warm requested but no programs built"
+            # the warm thread may still be compiling when the stack starts;
+            # fused() joins it, so by now used_aot must be set unless the
+            # AOT signature mismatched — which this test exists to catch
+            assert all(p.used_aot for p in progs), [
+                (p.used_aot, p._aot) for p in progs]
+    np.testing.assert_allclose(np.asarray(outs["0"]), np.asarray(outs["1"]),
+                               rtol=1e-6)
