@@ -358,6 +358,17 @@ def _save_local_record(out: dict) -> None:
                 rec["methods"] = merged
         except (OSError, ValueError):
             pass
+        # headline stability: a partial re-measure (e.g. a single-preset
+        # run) must not demote the canonical headline — re-derive it from
+        # the merged zeroth_pb entry whenever one exists
+        pb = rec.get("methods", {}).get("zeroth_pb", {})
+        if pb.get("value") is not None:
+            rec["metric"] = "ecoflap_zeroth_pb_prune_wall_s"
+            for k in ("value", "vs_baseline", "phases", "samples",
+                      "eval_chunk", "coarse_samples", "noise_mode",
+                      "peak_gib", "cache_state", "phase_tflops", "mfu_pct"):
+                if k in pb:
+                    rec[k] = pb[k]
         rec["recorded"] = time.strftime("%Y-%m-%dT%H:%M:%S")
         with open(_local_record_path(), "w") as f:
             f.write(json.dumps(rec) + "\n")

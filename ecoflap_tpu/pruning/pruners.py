@@ -273,8 +273,18 @@ class TwoStagePruner:
         like the plan warm: default ON on tpu, ECOFLAP_WARM_FINE=0/1
         overrides."""
         env = os.environ.get("ECOFLAP_WARM_FINE")
+        # default: when a coarse SCORING stage will run (the device-busy
+        # window the compiles hide under: zeroth_pb fine stage 62 s -> 34 s)
+        # or when the programs are compile-dominated (SparseGPT: ~110 s
+        # compile vs ~20 s execution per stack; uniform preset measured
+        # 375 s -> 345 s). Wanda-only presets LOSE on a single-core host —
+        # the first stack's inline compile time-shares with every warm
+        # thread (77 s -> 114 s measured) — so they stay serial.
+        has_coarse = (self.sparsity_ratio_granularity is not None
+                      and self.sparsity_dict is None)
         on = (env == "1" if env is not None
-              else jax.default_backend() == "tpu")
+              else jax.default_backend() == "tpu"
+              and (has_coarse or self.local_method == "sparsegpt"))
         if not on or self.host_stream:
             return {}
         from ecoflap_tpu.core.pytree import get_leaf
